@@ -1,0 +1,301 @@
+"""Porter2 (Snowball English) stemmer, implemented from scratch.
+
+Source of truth: the published Snowball English stemmer algorithm
+(snowballstem.org, "The English (Porter2) stemming algorithm") — public
+knowledge. The reference engine delegates stemming to
+``nltk.stem.snowball.SnowballStemmer`` (reference ``tokenizer.py:59-70``),
+which implements this same public algorithm; neither nltk nor any stemmer
+package is available here, so this is a clean-room implementation of the
+spec.
+
+Semantics mirrored from the reference tokenizer (``tokenizer.py:59-70``):
+the stem function is pure; callers memoize results per worker process
+(reference keeps an unbounded ``transforms`` dict — ST1 in SURVEY.md §2.3).
+
+Only English is implemented; the reference CLI exposes ``--language`` but
+the baseline config and all published numbers use english
+(reference ``README.md:200-208``).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_ENDINGS = frozenset("cdeghkmnrt")
+
+# Exceptional forms (spec: "exceptional forms" table).
+_EXCEPTIONS = {
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "idly": "idl",
+    "gently": "gentl",
+    "ugly": "ugli",
+    "early": "earli",
+    "only": "onli",
+    "singly": "singl",
+    # invariant forms
+    "sky": "sky",
+    "news": "news",
+    "howe": "howe",
+    "atlas": "atlas",
+    "cosmos": "cosmos",
+    "bias": "bias",
+    "andes": "andes",
+}
+
+# Invariant after step 1a (spec: "Following step 1a, leave the following
+# invariant").
+_EXCEPTIONS_1A = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+# Step 2 suffix → replacement, longest-match-first. ``None`` replacement
+# marks conditional rules handled inline.
+_STEP2 = (
+    ("ization", "ize"),
+    ("ational", "ate"),
+    ("fulness", "ful"),
+    ("ousness", "ous"),
+    ("iveness", "ive"),
+    ("tional", "tion"),
+    ("biliti", "ble"),
+    ("lessli", "less"),
+    ("entli", "ent"),
+    ("ation", "ate"),
+    ("alism", "al"),
+    ("aliti", "al"),
+    ("ousli", "ous"),
+    ("iviti", "ive"),
+    ("fulli", "ful"),
+    ("enci", "ence"),
+    ("anci", "ance"),
+    ("abli", "able"),
+    ("izer", "ize"),
+    ("ator", "ate"),
+    ("alli", "al"),
+    ("bli", "ble"),
+    ("ogi", None),   # → og if preceded by l
+    ("li", None),    # → delete if preceded by a valid li-ending
+)
+
+_STEP3 = (
+    ("ational", "ate"),
+    ("tional", "tion"),
+    ("alize", "al"),
+    ("icate", "ic"),
+    ("iciti", "ic"),
+    ("ical", "ic"),
+    ("ative", None),  # → delete if in R2
+    ("ful", ""),
+    ("ness", ""),
+)
+
+_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "ion",  # special: delete only if preceded by s or t
+    "al", "er", "ic",
+)
+
+
+def _is_vowel(word: str, i: int) -> bool:
+    return word[i] in _VOWELS
+
+
+def _mark_ys(word: str) -> str:
+    """Set initial y, and y after a vowel, to Y (consonant marker)."""
+    if "y" not in word:
+        return word
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS:
+            chars[i] = "Y"
+    return "".join(chars)
+
+
+def _compute_r1(word: str) -> int:
+    # Spec exception: gener-, commun-, arsen- prefixes pin R1.
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            return len(prefix)
+    for i in range(1, len(word)):
+        if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _compute_r2(word: str, r1: int) -> int:
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _ends_short_syllable(word: str) -> bool:
+    """True if ``word`` ends in a short syllable.
+
+    Short syllable = vowel followed by a non-vowel other than w, x or Y,
+    preceded by a non-vowel; OR a vowel at the beginning of the word
+    followed by a non-vowel.
+    """
+    n = len(word)
+    if n == 2:
+        return word[0] in _VOWELS and word[1] not in _VOWELS
+    if n >= 3:
+        a, b, c = word[-3], word[-2], word[-1]
+        return (
+            b in _VOWELS
+            and c not in _VOWELS
+            and c not in "wxY"
+            and a not in _VOWELS
+        )
+    return False
+
+
+def _contains_vowel(segment: str) -> bool:
+    return any(ch in _VOWELS for ch in segment)
+
+
+def stem(word: str) -> str:
+    """Stem one already-lowercased token. Pure function."""
+    if len(word) <= 2:
+        return word
+
+    if word[0] == "'":
+        word = word[1:]
+        if len(word) <= 2:
+            return word
+
+    exc = _EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+
+    word = _mark_ys(word)
+    r1 = _compute_r1(word)
+    r2 = _compute_r2(word, r1)
+
+    def in_r1(suffix: str) -> bool:
+        return len(word) - len(suffix) >= r1
+
+    def in_r2(suffix: str) -> bool:
+        return len(word) - len(suffix) >= r2
+
+    # Step 0: longest of  '  's  's'
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ied") or word.endswith("ies"):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith("us") or word.endswith("ss"):
+        pass
+    elif word.endswith("s"):
+        if _contains_vowel(word[:-2]):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS_1A:
+        return word
+
+    # Step 1b
+    step1b_suffix = None
+    for suf in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if word.endswith(suf):
+            step1b_suffix = suf
+            break
+    if step1b_suffix in ("eed", "eedly"):
+        if in_r1(step1b_suffix):
+            word = word[: -len(step1b_suffix)] + "ee"
+    elif step1b_suffix is not None:
+        preceding = word[: -len(step1b_suffix)]
+        if _contains_vowel(preceding):
+            word = preceding
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif word.endswith(_DOUBLES):
+                word = word[:-1]
+            elif r1 >= len(word) and _ends_short_syllable(word):
+                # "the word is short": ends in a short syllable and R1 null
+                word += "e"
+
+    # Step 1c: y/Y → i if preceded by a non-vowel which is not the first
+    # letter of the word.
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and word[-2] not in _VOWELS
+    ):
+        word = word[:-1] + "i"
+
+    # Step 2 (in R1)
+    for suf, repl in _STEP2:
+        if word.endswith(suf):
+            if in_r1(suf):
+                if suf == "ogi":
+                    if word.endswith("logi"):
+                        word = word[:-1]
+                elif suf == "li":
+                    if len(word) >= 3 and word[-3] in _LI_ENDINGS:
+                        word = word[:-2]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    # Step 3 (in R1)
+    for suf, repl in _STEP3:
+        if word.endswith(suf):
+            if in_r1(suf):
+                if suf == "ative":
+                    if in_r2(suf):
+                        word = word[:-5]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    # Step 4 (in R2)
+    for suf in _STEP4:
+        if word.endswith(suf):
+            if in_r2(suf):
+                if suf == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # Step 5
+    if word.endswith("e"):
+        if in_r2("e"):
+            word = word[:-1]
+        elif in_r1("e") and not _ends_short_syllable(word[:-1]):
+            word = word[:-1]
+    elif word.endswith("ll") and in_r2("l"):
+        word = word[:-1]
+
+    return word.replace("Y", "y")
+
+
+class CachedStemmer:
+    """Memoizing stemmer — mirrors the reference's per-process
+    ``transforms`` cache (reference ``tokenizer.py:30,63-68``, ST1)."""
+
+    __slots__ = ("_cache",)
+
+    def __init__(self) -> None:
+        self._cache: dict[str, str] = {}
+
+    def stem(self, word: str) -> str:
+        cached = self._cache.get(word)
+        if cached is None:
+            cached = stem(word)
+            self._cache[word] = cached
+        return cached
