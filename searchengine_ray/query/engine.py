@@ -1,0 +1,147 @@
+"""Query engine: searcher + serving actor pool.
+
+``Searcher`` is the in-process engine (reference ``searcher.py:41-58``
+lifecycle: tokenize query → fetch posting lists → rank → top-n → join
+external ids). ``QueryActor`` wraps it as a callable class for
+``map_batches(QueryActor, concurrency=N)`` over a queries dataset —
+the scatter/serving path (each actor holds the manifest, shard readers
+and caches once; reference ST5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from searchengine_ray.build.extract import make_tokenizer
+from searchengine_ray.build.pipeline import load_manifest
+from searchengine_ray.config import IndexConfig, RankerType
+from searchengine_ray.query.postings import ShardReader
+from searchengine_ray.query.scorers import make_scorer, top_k
+
+
+class Searcher:
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        ranker: RankerType | None = None,
+        k: float | None = None,
+        b: float | None = None,
+        smart_schema: str | None = None,
+        cache_size: int = 10_000,
+    ):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        cfg = IndexConfig.from_manifest(self.manifest["config"])
+        # query-time overrides (reference CLI --ranker/--k/--b, searcher.py:14-38)
+        if ranker is not None:
+            cfg.ranker = ranker
+        if k is not None:
+            cfg.k = k
+        if b is not None:
+            cfg.b = b
+        if smart_schema is not None:
+            cfg.smart_schema = smart_schema
+        self.cfg = cfg
+        self.stats = self.manifest["corpus"]
+        self.tokenizer = make_tokenizer(cfg)
+        self.scorer = make_scorer(cfg, self.stats)
+        self.reader = ShardReader(self.manifest, cache_size=cache_size)
+        self._docmap_files: list[str] | None = None
+
+    # -- core --------------------------------------------------------------
+
+    def search_tokens(self, tokens: list[str], n: int | None = None):
+        """→ (doc_ids, scores) arrays, top-n by (score desc, doc_id asc)."""
+        n = n or self.cfg.default_top_k
+        recs = self.reader.fetch(tokens)
+        doc_ids, scores = self.scorer.score(tokens, recs)
+        if self.cfg.ranker == RankerType.RAW:
+            return doc_ids[:n], scores[:n]  # reference truncates unsorted
+        return top_k(doc_ids, scores, n)
+
+    def search(self, query: str, n: int | None = None, with_urls: bool = True):
+        """→ pyarrow Table (rank, doc_id, score[, url])."""
+        tokens = self.tokenizer.tokenize(query)
+        doc_ids, scores = self.search_tokens(tokens, n)
+        cols = {
+            "rank": pa.array(np.arange(1, doc_ids.size + 1, dtype=np.int32)),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        if with_urls:
+            cols["url"] = pa.array(self.urls_of(doc_ids), pa.string())
+        return pa.table(cols)
+
+    # -- docmap join (reference J2: top-k is tiny → lookup, no shuffle) ----
+
+    def urls_of(self, doc_ids: np.ndarray) -> list[str]:
+        import glob
+        import os
+
+        if self._docmap_files is None:
+            self._docmap_files = sorted(
+                glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
+            )
+        wanted = [int(d) for d in doc_ids]
+        if not wanted:
+            return []
+        url_of: dict[int, str] = {}
+        for f in self._docmap_files:
+            tbl = pq.read_table(
+                f, columns=["doc_id", "url"], filters=[("doc_id", "in", wanted)]
+            )
+            url_of.update(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+        return [url_of.get(d, "") for d in wanted]
+
+
+class QueryActor:
+    """Actor-pool stage: batch of (query_id, query) → top-k rows.
+
+    Index load happens once per actor in ``__init__``; per-query work in
+    ``__call__`` (SURVEY §2.3 ST5 as an actor pool)."""
+
+    def __init__(self, index_dir: str, n: int = 10, with_urls: bool = False,
+                 **searcher_kw):
+        self.searcher = Searcher(index_dir, **searcher_kw)
+        self.n = n
+        self.with_urls = with_urls
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores, urls = [], [], [], [], []
+        for qid, query in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        ):
+            res = self.searcher.search(query, self.n, with_urls=self.with_urls)
+            m = res.num_rows
+            qids.extend([qid] * m)
+            ranks.extend(res["rank"].to_pylist())
+            docs.extend(res["doc_id"].to_pylist())
+            scores.extend(res["score"].to_pylist())
+            if self.with_urls:
+                urls.extend(res["url"].to_pylist())
+        cols = {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        if self.with_urls:
+            cols["url"] = pa.array(urls, pa.string())
+        return pa.table(cols)
+
+
+def search_dataset(queries_ds, index_dir: str, n: int = 10, concurrency: int = 2,
+                   **kw):
+    """Distributed query serving: Dataset[(query_id, query)] → Dataset of
+    top-k rows via an actor pool."""
+    return queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_kwargs=dict(index_dir=index_dir, n=n, **kw),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
