@@ -1,44 +1,506 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship BM25 index build + query over the sf0.001 corpus.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data ops); each takes ``sf_dir`` and returns a Dataset /
+pyarrow Table. ``oracle_sql()`` — DuckDB-equivalent SQL for every
+SQL-expressible query (views: region nation customer supplier part
+orders lineitem events documents embeddings). Non-SQL-expressible ops
+(stemmed search, MinHash/SimHash, LSH, multimodal) are rows-only.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+``ray.init()`` / ``ray.shutdown()``.
+
+Float-compare strategy: scores are quantized to integers on BOTH sides
+(``score_q4`` = round(score·10⁴)) so value-hash comparison is exact;
+fully discrete queries (tf/df/dedup/counts) anchor correctness
+integer-exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# -- shared fixtures -------------------------------------------------------
+
+BM25_QUERY_TERMS = ["fast", "spark", "join", "merge"]  # present in testdata vocab
+SEARCH_QUERIES = [
+    "fast spark join merge",
+    "query vector stream window",
+    "customer order line agg",
+    "slow scan filter group data",
+    "big small table hash part",
+]
+K1, B = 1.2, 0.75
+TOPK = 10
+
+_STOP_SQL_LIST = "['the','and','of','to','in','is','it','on','for','as']"
+
+
+def _simple_cfg():
+    """Index config whose tokenizer is exactly the SQL-parity simple
+    tokenization (no stemming / stop words, min length 2)."""
+    from searchengine_ray.config import IndexConfig
+
+    return IndexConfig(
+        min_token_length=2, use_stop_words=False, language=None,
+        num_shards=4, k=K1, b=B,
+    )
+
+
+def _full_cfg(**kw):
+    from searchengine_ray.config import IndexConfig
+
+    return IndexConfig(num_shards=4, k=K1, b=B, **kw)
+
+
+def _index_for(sf_dir: str, cfg) -> str:
+    """Build (once, cached by content key) an index over the documents
+    table of ``sf_dir``; returns the index dir."""
+    from searchengine_ray.build.pipeline import MANIFEST_NAME, build_index
+
+    key = hashlib.md5(
+        f"{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
+    ).hexdigest()[:16]
+    out = f"/tmp/graft_indexes/{key}"
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), out, cfg,
+            id_column="doc_id", text_column="text", url_column=None,
+        )
+    return out
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _q4(x: np.ndarray | float) -> Any:
+    return np.round(np.asarray(x, dtype=np.float64) * 10_000).astype(np.int64)
+
+
+# -- entry -----------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the BM25 index over the sf0.001 pages corpus
+    (Common-Crawl-style shape synthesized from documents) and run the
+    query suite; returns the top-k result table."""
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import materialize_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = materialize_pages(sf_dir, "/tmp/graft_pages_sf0001", files=8)
+    idx = "/tmp/graft_flagship_idx"
+    build_index(pages, idx, IndexConfig(num_shards=4))
+    s = Searcher(idx)
+    out = []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search(q, TOPK)
+        out.append(
+            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+# -- Ray-side query callables ---------------------------------------------
+
+def _q_doc_lengths(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import doc_lengths_batch
+
+    return _docs_ds(sf_dir).map_batches(doc_lengths_batch, batch_format="pyarrow")
+
+
+def _q_postings_tf(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import postings_tf_batch
+
+    return _docs_ds(sf_dir).map_batches(postings_tf_batch, batch_format="pyarrow")
+
+
+def _q_term_df(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.analysis import term_df_partial_batch
+
+    partial = _docs_ds(sf_dir).map_batches(
+        term_df_partial_batch, batch_format="pyarrow"
+    )
+    out = partial.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
+    return out
+
+
+def _q_top_terms(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.analysis import term_cf_partial_batch
+
+    partial = _docs_ds(sf_dir).map_batches(
+        term_cf_partial_batch, batch_format="pyarrow"
+    )
+    out = (
+        partial.groupby("term")
+        .aggregate(Sum("cf_partial", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(50)
+    )
+    return out
+
+
+def _q_bm25_topk(sf_dir: str):
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(sf_dir, _simple_cfg())
+    s = Searcher(idx)
+    doc_ids, scores = s.search_tokens(list(BM25_QUERY_TERMS), TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score_q4": pa.array(_q4(scores), pa.int64()),
+        }
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    from searchengine_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import fingerprint_batch
+
+    return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import token_count_batch
+
+    return _docs_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_quality_stats(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import quality_stats_batch
+
+    return _docs_ds(sf_dir).map_batches(quality_stats_batch, batch_format="pyarrow")
+
+
+def _q_lang_hist(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_events_by_user(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    out = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def quantize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "sum_value_q4": pa.array(
+                    _q4(b["sum_value"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(quantize, batch_format="pyarrow")
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        epoch_us = b["ts"].cast(pa.int64())
+        hour = pc.divide(epoch_us, 3_600_000_000)
+        return pa.table(
+            {"hour_bucket": hour.cast(pa.int64()), "event_type": b["event_type"]}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour_bucket", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_ann_cosine(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import cosine_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = cosine_topk(ds, query_ids=[0, 1, 2], k=5)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "sim_q2": pa.array(
+                np.round(
+                    t["sim"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+# -- rows-only ops (no SQL equivalent) ------------------------------------
+
+def _q_search_bm25(sf_dir: str):
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(sf_dir, _full_cfg())
+    s = Searcher(idx)
+    out = []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search(q, TOPK, with_urls=False)
+        out.append(
+            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+def _q_search_tfidf(sf_dir: str):
+    from searchengine_ray.config import RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(sf_dir, _full_cfg(ranker=RankerType.TF_IDF))
+    s = Searcher(idx)
+    out = []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search(q, TOPK, with_urls=False)
+        out.append(
+            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+def _q_search_bm25_positional(sf_dir: str):
+    from searchengine_ray.config import PostingType, RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(
+        sf_dir,
+        _full_cfg(ranker=RankerType.BM25_OPTIMIZED,
+                  posting_type=PostingType.POSITIONAL),
+    )
+    s = Searcher(idx)
+    out = []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search(q, TOPK, with_urls=False)
+        out.append(
+            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(out)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from searchengine_ray.pipelines.dedup import minhash_candidates
+
+    return minhash_candidates(_docs_ds(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from searchengine_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import LangIdStage
+
+    return _docs_ds(sf_dir).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.multimodal import extract_binary_features
+    from searchengine_ray.sources.pages import materialize_pages
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return extract_binary_features(ds, column="html")
+
+
+def _q_lsh_candidates(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import lsh_candidate_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_candidate_pairs(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # SQL-checked
+        "doc_lengths": _q_doc_lengths,
+        "postings_tf": _q_postings_tf,
+        "term_df": _q_term_df,
+        "top_terms": _q_top_terms,
+        "bm25_topk": _q_bm25_topk,
+        "exact_dedup": _q_exact_dedup,
+        "fingerprints": _q_fingerprints,
+        "token_counts": _q_token_counts,
+        "quality_stats": _q_quality_stats,
+        "lang_hist": _q_lang_hist,
+        "events_by_user": _q_events_by_user,
+        "events_hourly": _q_events_hourly,
+        "ann_cosine_topk": _q_ann_cosine,
+        # rows-only
+        "search_bm25": _q_search_bm25,
+        "search_tfidf": _q_search_tfidf,
+        "search_bm25_positional": _q_search_bm25_positional,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal_features,
+        "lsh_candidates": _q_lsh_candidates,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- DuckDB oracles --------------------------------------------------------
+
+def _sql_punct_class() -> str:
+    from searchengine_ray.pipelines.analysis import PUNCT_CLASS_SQL
+
+    return PUNCT_CLASS_SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pclass = _sql_punct_class()
+    toks = (
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        f"lower(regexp_replace(text, '{pclass}', ' ', 'g')), '\\s+'), "
+        "t -> length(t) >= 2)) AS term FROM documents"
+    )
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    return {
+        "doc_lengths": (
+            f"WITH toks AS ({toks}) "
+            "SELECT d.doc_id, count(t.term)::BIGINT AS dl "
+            "FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "postings_tf": (
+            f"WITH toks AS ({toks}) "
+            "SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2"
+        ),
+        "term_df": (
+            f"WITH toks AS ({toks}) "
+            "SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM toks GROUP BY 1"
+        ),
+        "top_terms": (
+            f"WITH toks AS ({toks}) "
+            "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
+            "ORDER BY cf DESC, term ASC LIMIT 50"
+        ),
+        "bm25_topk": (
+            f"WITH toks AS ({toks}), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf "
+            "       FROM toks GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1), "
+            "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            "          (SELECT count(*) FROM toks)::DOUBLE "
+            "          / (SELECT count(*) FROM documents) AS avgdl), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            f"q(term) AS (VALUES {qterms}), "
+            "scored AS ( "
+            "  SELECT tf.doc_id, "
+            f"  sum(round(ln(s.n / df.df), 3) * (tf.tf * ({K1} + 1)) / "
+            f"      (tf.tf + {K1} * (1 - {B} + {B} * round(dl.dl / s.avgdl, 3)))"
+            "  ) AS score "
+            "  FROM tf JOIN q USING (term) JOIN df ON tf.term = df.term "
+            "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+            "  GROUP BY tf.doc_id) "
+            "SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4 "
+            f"FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS fingerprint, min(doc_id)::BIGINT AS doc_id, "
+            "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+            "::BIGINT AS n_pretokens FROM documents"
+        ),
+        "quality_stats": (
+            "WITH base AS (SELECT doc_id, text, "
+            f" list_filter(regexp_split_to_array(lower(regexp_replace(text, "
+            f"'{pclass}', ' ', 'g')), '\\s+'), t -> length(t) >= 2) AS toks "
+            "FROM documents) "
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "len(toks)::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit_chars, "
+            f"len(regexp_extract_all(text, '{pclass}'))::BIGINT AS n_punct_chars, "
+            f"len(list_filter(toks, t -> list_contains({_STOP_SQL_LIST}, t)))"
+            "::BIGINT AS n_stop_tokens, "
+            "coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT "
+            "AS sum_token_len FROM base"
+        ),
+        "lang_hist": (
+            "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang"
+        ),
+        "events_by_user": (
+            "SELECT user_id, event_type, count(*)::BIGINT AS n, "
+            "CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_q4 "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_hourly": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "
+            "event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "           FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+            "sims AS (SELECT q.query_id, e.vec_id, "
+            "         list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "         FROM q CROSS JOIN embeddings e "
+            "         WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "  (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn "
+            "  FROM sims) "
+            "SELECT query_id, vec_id, CAST(round(sim * 100) AS BIGINT) AS sim_q2 "
+            "FROM ranked WHERE rn <= 5"
+        ),
+    }

@@ -1,0 +1,209 @@
+"""Headline benchmark: index build throughput + BM25 top-10 p50 latency
++ training-data pipelines, over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...detail...}
+
+``--scaling``: runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on identical input and reports both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+
+The build corpus is the sf pages table deterministically replicated
+(REPLICAS × ~5k docs at sf0.1 → ~100k docs / ~30 MB text) so the timed
+phase measures tokenize+shuffle throughput, not fixed startup costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "100"))
+
+SEARCH_QUERIES = [
+    "fast spark join merge",
+    "query vector stream window",
+    "customer order line agg",
+    "slow scan filter group data",
+    "big small table hash part",
+    "sort key value batch",
+    "stream window group column",
+    "hash merge row scan",
+]
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines.analysis import quality_stats_batch
+    from searchengine_ray.pipelines.dedup import minhash_candidates
+    from searchengine_ray.pipelines.similarity import cosine_topk
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import materialize_bench_corpus
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    detail: dict = {}
+
+    # untimed worker warmup: pre-start workers and pay the per-process
+    # import cost outside the measured phases
+    def _warm(batch):
+        import searchengine_ray.build.extract  # noqa: F401
+        import searchengine_ray.build.merge  # noqa: F401
+        return batch
+
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _warm, batch_size=None, num_cpus=1
+    ).materialize()
+
+    # untimed: corpus materialization (also warms the page cache)
+    corpus = materialize_bench_corpus(
+        SF_DIR, f"/tmp/bench_pages_{sf_name}_x{REPLICAS}", replicas=REPLICAS
+    )
+    corpus_bytes = sum(os.path.getsize(p) for p in corpus)
+
+    # -- phase 1: index build (fresh, no resume) --------------------------
+    idx_dir = f"/tmp/bench_idx_{sf_name}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus, idx_dir,
+        # the synthetic vocabulary is ~30 head terms — salting is what
+        # gives the merge shuffle its parallelism (skew handling at work)
+        IndexConfig(num_shards=max(8, NUM_CPUS // 2), hot_salts=8,
+                    hot_frac=0.005),
+    )
+    build_sec = time.perf_counter() - t0
+    n_docs = manifest["corpus"]["n_docs"]
+    detail["build_sec"] = round(build_sec, 3)
+    detail["build_docs_per_sec"] = round(n_docs / build_sec, 1)
+    detail["build_mb_per_sec"] = round(corpus_bytes / 1e6 / build_sec, 2)
+    detail["n_docs"] = n_docs
+    detail["stage_metrics"] = manifest["metrics"]
+
+    if os.environ.get("GRAFT_BENCH_PHASES") == "build":
+        out = {
+            "metric": "index build (sec)", "value": round(build_sec, 3),
+            "unit": "sec", "queries": {"build": round(build_sec, 3)},
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, **detail,
+        }
+        ray.shutdown()
+        return out
+
+    # -- phase 2: BM25 top-10 query latency -------------------------------
+    s = Searcher(idx_dir)
+    lat: list[float] = []
+    per_query: dict[str, float] = {}
+    for rep in range(3):
+        for q in SEARCH_QUERIES:
+            t0 = time.perf_counter()
+            s.search(q, 10)
+            dt = time.perf_counter() - t0
+            lat.append(dt)
+            if rep > 0:  # first pass warms the posting-list cache
+                per_query[q] = min(per_query.get(q, dt), dt)
+    query_sec = sum(lat)
+    detail["query_p50_ms"] = round(statistics.median(lat) * 1000, 2)
+    detail["query_p50_warm_ms"] = round(
+        statistics.median(per_query.values()) * 1000, 2
+    )
+
+    # -- phase 3: pipelines over the sf tables ----------------------------
+    import ray.data
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_pairs = minhash_candidates(docs).count()
+    detail["minhash_sec"] = round(time.perf_counter() - t0, 3)
+    detail["minhash_pairs"] = n_pairs
+
+    t0 = time.perf_counter()
+    docs.map_batches(quality_stats_batch, batch_format="pyarrow").count()
+    detail["quality_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cosine_topk(emb, query_ids=[0, 1, 2], k=5)
+    detail["ann_sec"] = round(time.perf_counter() - t0, 3)
+
+    pipeline_sec = detail["minhash_sec"] + detail["quality_sec"] + detail["ann_sec"]
+    total = build_sec + query_sec + pipeline_sec
+
+    out = {
+        "metric": "index-build + BM25 p50 + curation pipelines (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(build_sec, 3),
+            "bm25_queries": round(query_sec, 3),
+            "minhash": detail["minhash_sec"],
+            "quality": detail["quality_sec"],
+            "ann": detail["ann_sec"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **detail,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling needs the compute phases to dominate fixed pipeline
+        # overheads — use a larger deterministic corpus unless overridden
+        env.setdefault("GRAFT_BENCH_REPLICAS", "800")
+        env.setdefault("GRAFT_BENCH_PHASES", "build")  # scaling measures
+        # the distributed build; query latency is single-stream serving
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling on the distributed build phase (query latency is single-
+    # stream serving and does not scale with cores)
+    t_lo, t_hi = r_lo["build_sec"], r_hi["build_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "build-throughput scaling efficiency",
+        "build_sec_8": t_lo,
+        "build_sec_32": t_hi,
+        "docs_per_sec_8": r_lo["build_docs_per_sec"],
+        "docs_per_sec_32": r_hi["build_docs_per_sec"],
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "num_cpus": [lo, hi],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

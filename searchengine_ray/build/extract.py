@@ -131,32 +131,81 @@ def tokenized_checkpoint_path(out_dir: str, doc_offset: int) -> str:
     return os.path.join(out_dir, f"tok-{doc_offset:012d}.parquet")
 
 
-class FragmentTokenizeTask(TokenizeStage):
-    """Resumable fragment task: the input batch is a table of fragment
-    DESCRIPTORS (fragment_id, path, row_groups, num_rows, doc_offset);
-    each task reads its fragment, tokenizes, and atomically publishes
-    ``tok-{doc_offset:012d}.parquet`` (tmp + rename). Fragments whose
-    checkpoint already exists are skipped — this is the build's
-    per-partition resume unit (north rule; the reference has none,
-    ``spimi.py:273-275`` even deletes its blocks).
+def fragment_stats_path(out_dir: str, doc_offset: int) -> str:
+    """Sidecar stats live OUTSIDE the parquet dir (directory reads must
+    see only parquet)."""
+    return os.path.join(
+        os.path.dirname(out_dir.rstrip("/")), "tokenized_stats",
+        f"tok-{doc_offset:012d}.stats.json",
+    )
 
-    Runs as an actor pool so the stemmer memo cache (ST1) is shared
-    across fragments handled by the same actor.
-    """
 
-    def __init__(self, cfg: IndexConfig, out_dir: str, id_column: str | None = None,
-                 **kw):
-        super().__init__(cfg, **kw)
-        self.out_dir = out_dir
-        self.id_column = id_column
-        os.makedirs(out_dir, exist_ok=True)
+def _fragment_stats(tok: pa.Table, sample_cap: int = 500) -> dict:
+    """Per-fragment stats + deterministic term sample, computed while the
+    data is hot — saves the driver two full corpus passes (corpus stats,
+    boundary sampling)."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    dls = tok["dl"].to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(tok["terms"])
+    n_postings = len(flat)
+    step = max(1, n_postings // sample_cap)
+    sample = flat.combine_chunks()[::step].to_pylist() if n_postings else []
+    doc_ids = tok["doc_id"].to_numpy(zero_copy_only=False)
+    return {
+        "docs": int(tok.num_rows),
+        "postings": int(n_postings),
+        "sum_dl": int(dls.sum()) if dls.size else 0,
+        "min_dl": int(dls.min()) if dls.size else 0,
+        "max_dl": int(dls.max()) if dls.size else 0,
+        "min_doc": int(doc_ids.min()) if doc_ids.size else -1,
+        "max_doc": int(doc_ids.max()) if doc_ids.size else -1,
+        "sample": sample,
+    }
 
+
+_STAGE_CACHE: dict[tuple, TokenizeStage] = {}
+
+
+def _cached_stage(cfg_manifest: tuple, cfg: IndexConfig, text_column: str,
+                  url_column: str | None) -> TokenizeStage:
+    """Per-worker-process tokenizer cache (stemmer memo ST1) — lets the
+    tokenize stage run as plain TASKS on pre-started workers instead of
+    paying an actor-pool spawn."""
+    st = _STAGE_CACHE.get(cfg_manifest)
+    if st is None:
+        st = TokenizeStage(cfg, text_column=text_column, url_column=url_column)
+        _STAGE_CACHE[cfg_manifest] = st
+    return st
+
+
+def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
+                           boundaries: list[str],
+                           hot_salt_of: dict[str, int],
+                           id_column: str | None = None,
+                           text_column: str = "text",
+                           url_column: str | None = "url"):
+    """FUSED per-fragment build task: read fragment → tokenize →
+    checkpoint (tok parquet + stats sidecar) → locally aggregate → spill
+    (one row group per gkey). One wave of tasks does all the heavy
+    compute; only small stats rows return to the driver. Fully resumable
+    per fragment (all three artifacts exist → nothing recomputed)."""
+    import json
+
+    from searchengine_ray.build.merge import SpillWriter
+
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(spill_dir, exist_ok=True)
+    cfg_key = (tuple(sorted(cfg.to_manifest().items())), text_column,
+               url_column, "v1")
+    spiller = SpillWriter(spill_dir, boundaries, hot_salt_of)
+
+    def build_fragment(batch: pa.Table) -> pa.Table:
         from searchengine_ray.build.docids import Fragment, _read_fragment
 
-        out_rows = {"file": [], "docs": [], "postings": [], "skipped": []}
+        stage = _cached_stage(cfg_key, cfg, text_column, url_column)
+        outs = []
         for row in batch.to_pylist():
             frag = Fragment(
                 fragment_id=row["fragment_id"],
@@ -165,34 +214,38 @@ class FragmentTokenizeTask(TokenizeStage):
                 num_rows=row["num_rows"],
                 doc_offset=row["doc_offset"],
             )
-            path = tokenized_checkpoint_path(self.out_dir, frag.doc_offset)
-            if os.path.exists(path):
-                meta = pq.read_metadata(path)
-                out_rows["file"].append(path)
-                out_rows["docs"].append(meta.num_rows)
-                out_rows["postings"].append(-1)
-                out_rows["skipped"].append(True)
-                continue
-            cols = None
-            if self.text_column:
-                cols = [self.text_column]
-                if self.url_column:
-                    cols.append(self.url_column)
-            (src,) = list(_read_fragment(frag, cols, self.id_column))
-            tok = TokenizeStage.__call__(self, src)
-            n_postings = int(pc.sum(pc.list_value_length(tok["terms"])).as_py() or 0)
-            tmp = path + f".tmp{os.getpid()}"
-            pq.write_table(tok, tmp)
-            os.replace(tmp, path)
-            out_rows["file"].append(path)
-            out_rows["docs"].append(tok.num_rows)
-            out_rows["postings"].append(n_postings)
-            out_rows["skipped"].append(False)
-        return pa.table(
-            {
-                "file": pa.array(out_rows["file"], pa.string()),
-                "docs": pa.array(out_rows["docs"], pa.int64()),
-                "postings": pa.array(out_rows["postings"], pa.int64()),
-                "skipped": pa.array(out_rows["skipped"], pa.bool_()),
-            }
-        )
+            path = tokenized_checkpoint_path(out_dir, frag.doc_offset)
+            spath = fragment_stats_path(out_dir, frag.doc_offset)
+            sp_path = os.path.join(
+                spill_dir, f"spill-{frag.doc_offset:012d}-{frag.num_rows}.parquet"
+            )
+            os.makedirs(os.path.dirname(spath), exist_ok=True)
+            if os.path.exists(path) and os.path.exists(spath):
+                if os.path.exists(sp_path):  # fully done → stats only
+                    outs.append(spiller.stats_of_existing(sp_path))
+                    continue
+                tok = None  # spill missing → read the checkpoint back
+            else:
+                cols = None
+                if text_column:
+                    cols = [text_column]
+                    if url_column:
+                        cols.append(url_column)
+                (src,) = list(_read_fragment(frag, cols, id_column))
+                tok = stage(src)
+                stats_json = json.dumps(_fragment_stats(tok))
+                tmp = path + f".tmp{os.getpid()}"
+                pq.write_table(tok, tmp, row_group_size=max(1, tok.num_rows),
+                               compression="zstd", compression_level=1)
+                with open(spath + f".tmp{os.getpid()}", "w") as f:
+                    f.write(stats_json)
+                os.replace(spath + f".tmp{os.getpid()}", spath)
+                os.replace(tmp, path)  # parquet last → stats always exist
+            if tok is None:
+                tok = pq.read_table(path)
+            outs.append(spiller(tok, sp_path))
+        return pa.concat_tables(outs)
+
+    return build_fragment
+
+

@@ -2,24 +2,26 @@
 shards with compressed posting lists.
 
 Replaces the reference's k-way heap merge over sorted block files
-(``spimi.py:150-209``) with ONE all-to-all exchange:
+(``spimi.py:150-209``) with a COMBINER + one keyed exchange:
 
-1. ``explode_batch`` — vectorized flatten of the doc-major tokenized
-   table into postings rows ``(term, doc_id, tf, dl, positions,
-   tf_weight)`` plus a group key (Arrow compute, no per-row Python).
-2. shard key = lexicographic range of ``term`` (boundaries sampled from
-   the corpus — north_star: "sharded lexicographically by term"); head
-   terms whose sampled frequency exceeds a threshold are SALTED across
-   ``hot_salts`` sub-groups by ``doc_id % hot_salts`` so no single
-   group holds a whole stopword-scale posting list (skew — SURVEY §4).
-3. ``groupby(gkey).map_groups(ShardWriter)`` — per group: sort by
-   (term, doc_id), run-length split by term, delta-gap + varbyte encode
-   (state/codec.py), idf = round(ln(N/df),3) (reference
-   ``bm25.py:105-106``), write one shard parquet atomically.
-
-Salted terms' df/idf cannot be computed inside a single group; their
-exact global df is pre-computed (they are few) and broadcast in
-``hot_df`` (reference semantics kept: idf from TOTAL df).
+1. ``local_postings_batch`` — each tokenized block becomes SPIMI-style
+   locally-aggregated postings: ONE row per (term, block) holding the
+   block's doc_ids/tfs/dls (… weights/positions) as Arrow list columns,
+   built zero-copy from run offsets after an in-block (term, doc_id)
+   sort. This is the pre-aggregation that keeps the all-to-all exchange
+   to ~|vocab|·|blocks| heavy rows instead of one row per posting
+   (at 100 TB the difference between a feasible and an infeasible sort).
+2. shard key = lexicographic term range (boundaries sampled — north
+   star: lexicographic shards); head terms are SALTED by
+   ``doc_id % hot_salts`` into sub-groups so no single group holds a
+   whole stopword posting list (skew, SURVEY §4). Salted rows carry the
+   term's exact global df (broadcast ``hot_df``) for idf.
+3. ``groupby(gkey).map_groups(ShardWriter)`` — per group: order rows by
+   (term, first_doc), flatten each term's rows (block doc ranges are
+   disjoint → concatenation is already doc-sorted; verified, with an
+   argsort fallback), delta-gap + varbyte encode (state/codec.py),
+   idf = round(ln(N/df),3) (reference ``bm25.py:105-106``), write one
+   shard parquet atomically (skip if present → resumable).
 """
 
 from __future__ import annotations
@@ -31,97 +33,160 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from searchengine_ray.config import IndexConfig, PostingType, RankerType
+from searchengine_ray.config import IndexConfig, RankerType
 from searchengine_ray.functions.smart import bm25_idf, calculate_idf
-from searchengine_ray.state.codec import (
-    BLOCK,
-    encode_positions,
-    encode_postings,
-)
+from searchengine_ray.state.codec import encode_positions, encode_postings
 
 MAX_SALTS = 64  # gkey = shard * MAX_SALTS + salt
 
 
-def explode_batch(tok: pa.Table) -> pa.Table:
-    """Doc-major tokenized rows → flat postings rows (all-Arrow/numpy)."""
-    counts = pc.list_value_length(tok["terms"])
-    terms = pc.list_flatten(tok["terms"])
-    n = np.asarray(counts.to_numpy(zero_copy_only=False), dtype=np.int64)
-    doc_ids = np.repeat(tok["doc_id"].to_numpy(zero_copy_only=False), n)
-    dls = np.repeat(tok["dl"].to_numpy(zero_copy_only=False), n)
-    tfs = pc.list_flatten(tok["tfs"])
-    cols = {
-        "term": terms,
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "tf": tfs,
-        "dl": pa.array(dls, pa.int32()),
-    }
-    if "tf_weights" in tok.column_names:
-        weights = pc.list_flatten(tok["tf_weights"])
-        if len(weights) == len(terms):
-            cols["tf_weight"] = weights
-    if "positions" in tok.column_names:
-        positions = pc.list_flatten(tok["positions"])  # aligned when positional
-        if len(positions) == len(terms):
-            cols["positions"] = positions
-    return pa.table(cols)
-
-
-def assign_gkey(
-    postings: pa.Table,
-    boundaries: list[str],
-    hot_salt_of: dict[str, int],
-) -> pa.Table:
-    """Add the shuffle key: shard from lexicographic boundaries (k
-    vectorized compares, k = num_shards-1), salt for hot terms."""
-    terms = postings["term"]
+def _shard_ids(terms: pa.Array, boundaries: list[str]) -> np.ndarray:
+    """Lexicographic shard of each term: k vectorized compares
+    (k = num_shards − 1)."""
     shard = np.zeros(len(terms), dtype=np.int64)
     for b in boundaries:
         shard += pc.greater_equal(terms, pa.scalar(b)).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-    salt = np.zeros(len(terms), dtype=np.int64)
+    return shard
+
+
+def _list_array(values: pa.Array, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+
+def local_postings_batch(
+    tok: pa.Table,
+    boundaries: list[str],
+    hot_salt_of: dict[str, int],
+) -> pa.Table:
+    """Doc-major tokenized block → one locally-aggregated row per
+    (term[, salt]) — the SPIMI block as an Arrow table."""
+    counts = pc.list_value_length(tok["terms"])
+    n_rep = np.asarray(counts.to_numpy(zero_copy_only=False), dtype=np.int64)
+    flat_terms = pc.list_flatten(tok["terms"]).combine_chunks()
+    doc_ids = pa.array(
+        np.repeat(tok["doc_id"].to_numpy(zero_copy_only=False), n_rep), pa.int64()
+    )
+    dls = pa.array(
+        np.repeat(tok["dl"].to_numpy(zero_copy_only=False), n_rep), pa.int32()
+    )
+    tfs = pc.list_flatten(tok["tfs"]).combine_chunks()
+    cols = {"term": flat_terms, "doc_id": doc_ids, "tf": tfs, "dl": dls}
+    if "tf_weights" in tok.column_names:
+        w = pc.list_flatten(tok["tf_weights"]).combine_chunks()
+        if len(w) == len(flat_terms):
+            cols["tf_weight"] = w
+    if "positions" in tok.column_names:
+        p = pc.list_flatten(tok["positions"]).combine_chunks()
+        if len(p) == len(flat_terms):
+            cols["positions"] = p
+    flat = pa.table(cols)
+    if flat.num_rows == 0:
+        return _empty_local_table("tf_weight" in cols, "positions" in cols)
+
+    flat = flat.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    flat = flat.combine_chunks()
+    terms_np = np.asarray(flat["term"].to_pylist(), dtype=object)
+    uniq, starts = np.unique(terms_np, return_index=True)
+    n = len(terms_np)
+    offsets = np.append(starts, n).astype(np.int32)
+
+    # run-offset list construction: zero-copy over the sorted columns
+    doc_lists = _list_array(flat["doc_id"].chunk(0), offsets)
+    tf_lists = _list_array(flat["tf"].chunk(0), offsets)
+    dl_lists = _list_array(flat["dl"].chunk(0), offsets)
+    first_docs = flat["doc_id"].chunk(0).take(pa.array(starts, pa.int64()))
+    term_arr = pa.array([str(t) for t in uniq], pa.string())
+    shard = _shard_ids(term_arr, boundaries)
+
+    out = {
+        "gkey": pa.array(shard * MAX_SALTS, pa.int64()),
+        "term": term_arr,
+        "salt": pa.array(np.zeros(len(uniq), np.int32), pa.int32()),
+        "first_doc": first_docs,
+        "doc_ids": doc_lists,
+        "tfs": tf_lists,
+        "dls": dl_lists,
+    }
+    if "tf_weight" in cols:
+        out["weights"] = _list_array(flat["tf_weight"].chunk(0), offsets)
+    if "positions" in cols:
+        out["positions"] = _list_array(flat["positions"].chunk(0), offsets)
+    tbl = pa.table(out)
+
     if hot_salt_of:
-        hot_list = list(hot_salt_of.keys())
-        mask = pc.is_in(terms, value_set=pa.array(hot_list)).to_numpy(
-            zero_copy_only=False
-        )
-        if mask.any():
-            doc_ids = postings["doc_id"].to_numpy(zero_copy_only=False)
-            nsalt = np.ones(len(terms), dtype=np.int64)
-            # per-term salt counts (hot set is small → one pass per hot term)
-            for t, s in hot_salt_of.items():
-                tmask = pc.equal(terms, pa.scalar(t)).to_numpy(zero_copy_only=False)
-                nsalt[tmask] = max(1, min(s, MAX_SALTS))
-            salt[mask] = doc_ids[mask] % nsalt[mask]
-    gkey = shard * MAX_SALTS + salt
-    return postings.append_column("gkey", pa.array(gkey, pa.int64()))
+        tbl = _salt_hot_rows(tbl, hot_salt_of)
+    return tbl
 
 
-def sample_term_boundaries(
-    tok_ds,
+def _empty_local_table(has_w: bool, has_p: bool) -> pa.Table:
+    cols = {
+        "gkey": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "salt": pa.array([], pa.int32()),
+        "first_doc": pa.array([], pa.int64()),
+        "doc_ids": pa.array([], pa.list_(pa.int64())),
+        "tfs": pa.array([], pa.list_(pa.int32())),
+        "dls": pa.array([], pa.list_(pa.int32())),
+    }
+    if has_w:
+        cols["weights"] = pa.array([], pa.list_(pa.float64()))
+    if has_p:
+        cols["positions"] = pa.array([], pa.list_(pa.list_(pa.int32())))
+    return pa.table(cols)
+
+
+def _salt_hot_rows(tbl: pa.Table, hot_salt_of: dict[str, int]) -> pa.Table:
+    """Split each hot term's row into per-salt sub-rows
+    (salt = doc_id % n_salts, doc order preserved)."""
+    hot_mask = pc.is_in(tbl["term"], value_set=pa.array(list(hot_salt_of)))
+    hot_mask_np = hot_mask.to_numpy(zero_copy_only=False)
+    if not hot_mask_np.any():
+        return tbl
+    keep = tbl.filter(pc.invert(hot_mask))
+    hot = tbl.filter(hot_mask)
+    rows = hot.to_pylist()
+    out_rows = []
+    for r in rows:
+        nsalt = max(1, min(hot_salt_of.get(r["term"], 1), MAX_SALTS))
+        docs = np.asarray(r["doc_ids"], dtype=np.int64)
+        salts = docs % nsalt
+        for s in range(nsalt):
+            m = salts == s
+            if not m.any():
+                continue
+            nr = dict(r)
+            nr["gkey"] = r["gkey"] + s
+            nr["salt"] = s
+            nr["first_doc"] = int(docs[m][0])
+            nr["doc_ids"] = docs[m].tolist()
+            nr["tfs"] = np.asarray(r["tfs"])[m].tolist()
+            nr["dls"] = np.asarray(r["dls"])[m].tolist()
+            if "weights" in r and r["weights"] is not None:
+                nr["weights"] = np.asarray(r["weights"])[m].tolist()
+            if "positions" in r and r["positions"] is not None:
+                nr["positions"] = [p for p, mm in zip(r["positions"], m) if mm]
+            out_rows.append(nr)
+    if not out_rows:
+        return keep
+    return pa.concat_tables(
+        [keep, pa.Table.from_pylist(out_rows, schema=tbl.schema)]
+    )
+
+
+def boundaries_from_sample(
+    sample_terms: list[str],
     num_shards: int,
     sample_cap: int = 200_000,
     hot_frac: float = 0.01,
     hot_salts: int = 8,
 ):
-    """Deterministic term sample → (boundaries, hot_salt_of).
-
-    Every k-th flattened term per batch (k sized from the dataset's
-    postings count estimate) — seed-free and stable for a fixed input.
-    Hot terms = terms exceeding ``hot_frac`` of the sample (collection-
-    frequency skew proxy).
-    """
-
-    def sampler(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(batch["terms"])
-        if len(flat) == 0:
-            return pa.table({"term": pa.array([], pa.string())})
-        step = max(1, len(flat) // 2000)
-        return pa.table({"term": flat.combine_chunks()[::step]})
-
-    sampled = tok_ds.map_batches(sampler, batch_format="pyarrow").take_all()
-    terms = sorted(r["term"] for r in sampled)
+    """Deterministic term sample (every k-th term per fragment, collected
+    by the tokenize sidecars) → (boundaries, hot_salt_of). Seed-free,
+    stable for a fixed input. Hot terms = terms above ``hot_frac`` of
+    the sample (collection-frequency skew proxy)."""
+    terms = sorted(sample_terms)
     if not terms:
         return [], {}
     arr = np.asarray(terms, dtype=object)
@@ -132,25 +197,24 @@ def sample_term_boundaries(
         b = arr[min(len(arr) - 1, i * len(arr) // num_shards)]
         if not boundaries or b != boundaries[-1]:
             boundaries.append(str(b))
-    # hot-term detection on the sample
-    uniq, counts = np.unique(arr, return_counts=True)
     hot = {}
     if hot_salts > 1:
+        uniq, counts = np.unique(arr, return_counts=True)
         thresh = max(2, int(hot_frac * len(arr)))
-        for t, c in zip(uniq[counts >= thresh], counts[counts >= thresh]):
+        for t in uniq[counts >= thresh]:
             hot[str(t)] = hot_salts
     return boundaries, hot
 
 
 def exact_hot_df(tok_ds, hot_terms: list[str]) -> dict[str, int]:
     """Exact global df for the (few) salted terms: per-batch partial
-    counts (combiner) → tiny groupby-sum on the driver."""
+    counts (combiner) → tiny fold on the driver."""
     if not hot_terms:
         return {}
     hot_arr = pa.array(hot_terms)
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(batch["terms"])  # distinct within doc already
+        flat = pc.list_flatten(batch["terms"])  # distinct within doc
         sel = flat.filter(pc.is_in(flat, value_set=hot_arr))
         vc = pc.value_counts(sel)
         if len(vc) == 0:
@@ -167,13 +231,131 @@ def exact_hot_df(tok_ds, hot_terms: list[str]) -> dict[str, int]:
     return out
 
 
+class SpillWriter:
+    """Phase A of the explicit two-phase exchange: one tokenized block →
+    one spill parquet, rows locally aggregated per (term, salt), sorted
+    by gkey, with ONE ROW GROUP PER GKEY so phase B prunes to exactly
+    its partition via row-group statistics. The spill file is a
+    deterministic checkpoint (named by the block's first doc id) — a
+    rerun skips existing files.
+
+    Why not ``groupby(gkey)``: Ray's sort/hash shuffles pay a global
+    barrier + O(blocks·partitions) tiny tasks; with pre-aggregated rows
+    the exchange is small and a shared-filesystem exchange (the normal
+    substrate for a 100 TB index build) keeps both phases embarrassingly
+    parallel and individually resumable.
+    """
+
+    def __init__(self, spill_dir: str, boundaries: list[str],
+                 hot_salt_of: dict[str, int]):
+        self.spill_dir = spill_dir
+        self.boundaries = boundaries
+        self.hot_salt_of = hot_salt_of
+        os.makedirs(spill_dir, exist_ok=True)
+
+    def _stats(self, path: str, tbl: pa.Table) -> pa.Table:
+        """Stats row: file, its gkeys, and exact per-hot-term partial dfs
+        (len of each hot row's doc list) — the driver folds these into
+        global hot dfs, replacing a whole extra corpus pass."""
+        gk = tbl["gkey"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(gk)) + 1))
+        gkeys = [int(gk[s]) for s in starts]
+        hot_terms: list[str] = []
+        hot_dfs: list[int] = []
+        if self.hot_salt_of:
+            mask = pc.is_in(
+                tbl["term"], value_set=pa.array(list(self.hot_salt_of))
+            )
+            hot = tbl.filter(mask)
+            if hot.num_rows:
+                hot_terms = hot["term"].to_pylist()
+                hot_dfs = pc.list_value_length(hot["doc_ids"]).to_pylist()
+        return pa.table({
+            "file": [path],
+            "gkeys": pa.array([gkeys], pa.list_(pa.int64())),
+            "hot_terms": pa.array([hot_terms], pa.list_(pa.string())),
+            "hot_dfs": pa.array([hot_dfs], pa.list_(pa.int64())),
+        })
+
+    def stats_of_existing(self, path: str) -> pa.Table:
+        cols = ["gkey"]
+        if self.hot_salt_of:
+            cols += ["term", "doc_ids"]
+        return self._stats(path, pq.read_table(path, columns=cols))
+
+    def __call__(self, tok: pa.Table, path: str | None = None) -> pa.Table:
+        if tok.num_rows == 0:
+            return pa.table({
+                "file": pa.array([], pa.string()),
+                "gkeys": pa.array([], pa.list_(pa.int64())),
+                "hot_terms": pa.array([], pa.list_(pa.string())),
+                "hot_dfs": pa.array([], pa.list_(pa.int64())),
+            })
+        if path is None:
+            first_doc = int(tok["doc_id"][0].as_py())
+            # name carries the block extent: a rerun with a different
+            # block layout can never silently reuse a stale spill file
+            path = os.path.join(
+                self.spill_dir, f"spill-{first_doc:012d}-{tok.num_rows}.parquet"
+            )
+        if os.path.exists(path):
+            return self.stats_of_existing(path)
+        tbl = local_postings_batch(tok, self.boundaries, self.hot_salt_of)
+        tbl = tbl.sort_by(
+            [("gkey", "ascending"), ("term", "ascending"),
+             ("first_doc", "ascending")]
+        ).combine_chunks()
+        gk = tbl["gkey"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(gk)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(gk)]))
+        tmp = path + f".tmp{os.getpid()}"
+        writer = pq.ParquetWriter(tmp, tbl.schema, compression="zstd",
+                                  compression_level=1)
+        for s, e in zip(starts, ends):
+            writer.write_table(tbl.slice(int(s), int(e - s)))
+        writer.close()
+        os.replace(tmp, path)
+        return self._stats(path, tbl)
+
+
+class ShardMergeTask:
+    """Phase B: a batch of gkey descriptors → read each gkey's rows from
+    the spill and merge+encode+write via ShardWriter.
+
+    ``gkeys_of_file`` (from the spill stats) lists each file's row
+    groups IN ORDER (one row group per gkey), so a task reads exactly
+    its row groups by index — no filter evaluation over the tens of
+    thousands of tiny row groups a big build produces."""
+
+    def __init__(self, gkeys_of_file: dict[str, list[int]],
+                 writer: "ShardWriter"):
+        self.gkeys_of_file = gkeys_of_file
+        self.writer = writer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gkeys = {int(g) for g in batch["gkey"].to_pylist()}
+        if not gkeys:
+            return ShardWriter._stats_table([])
+        chunks = []
+        for f, fgkeys in self.gkeys_of_file.items():
+            idxs = [i for i, g in enumerate(fgkeys) if g in gkeys]
+            if idxs:
+                chunks.append(pq.ParquetFile(f).read_row_groups(idxs))
+        if not chunks:
+            return ShardWriter._stats_table([])
+        tbl = pa.concat_tables(chunks)
+        outs = []
+        for gkey in sorted(gkeys):
+            sub = tbl.filter(pc.equal(tbl["gkey"], gkey))
+            if sub.num_rows:
+                outs.append(self.writer(sub))
+        return pa.concat_tables(outs) if outs else ShardWriter._stats_table([])
+
+
 class ShardWriter:
     """``map_groups`` function for one gkey group → one shard parquet.
-
-    Plain callable (not an actor): each group is independent; the write
-    is atomic (tmp + rename) and skipped if the file already exists, so
-    a re-run after a crash only redoes missing shards.
-    """
+    Atomic write (tmp + rename), skipped when the file exists (resume)."""
 
     def __init__(
         self,
@@ -206,18 +388,20 @@ class ShardWriter:
                 [(shard_id, salt, path, meta.num_rows, -1, True)]
             )
 
-        tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        tbl = group.sort_by(
+            [("term", "ascending"), ("first_doc", "ascending")]
+        ).combine_chunks()
         terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-        doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = tbl["tf"].to_numpy(zero_copy_only=False)
-        dls = tbl["dl"].to_numpy(zero_copy_only=False)
-        has_w = "tf_weight" in tbl.column_names
-        has_p = "positions" in tbl.column_names
-        weights = tbl["tf_weight"].to_numpy(zero_copy_only=False) if has_w else None
-        pos_lists = tbl["positions"].to_pylist() if has_p else None
-
         uniq, starts = np.unique(terms, return_index=True)
         ends = np.append(starts[1:], len(terms))
+        has_w = "weights" in tbl.column_names
+        has_p = "positions" in tbl.column_names
+
+        doc_col = tbl["doc_ids"]
+        tf_col = tbl["tfs"]
+        dl_col = tbl["dls"]
+        w_col = tbl["weights"] if has_w else None
+        p_col = tbl["positions"] if has_p else None
 
         rec = {k: [] for k in (
             "term", "salt", "df", "idf", "n", "docs_enc", "tfs_enc",
@@ -225,29 +409,57 @@ class ShardWriter:
         )}
         n_postings = 0
         for t, s, e in zip(uniq, starts, ends):
-            d = doc_ids[s:e]
-            f = tfs[s:e]
-            docs_enc, tfs_enc, dls_enc, skip_docs, block_max = encode_postings(
-                d, f, dls[s:e]
+            d = np.asarray(
+                pc.list_flatten(doc_col.slice(s, e - s)), dtype=np.int64
             )
-            df_total = self.hot_df.get(t, e - s) if salt or t in self.hot_df else e - s
+            f = np.asarray(
+                pc.list_flatten(tf_col.slice(s, e - s)), dtype=np.int64
+            )
+            dl = np.asarray(
+                pc.list_flatten(dl_col.slice(s, e - s)), dtype=np.int64
+            )
+            if d.size > 1 and not (d[1:] > d[:-1]).all():
+                # block doc ranges should be disjoint; fall back to an
+                # explicit stable sort if an input violates that
+                order = np.argsort(d, kind="stable")
+                d, f, dl = d[order], f[order], dl[order]
+            else:
+                order = None
+            docs_enc, tfs_enc, dls_enc, skip_docs, block_max = encode_postings(
+                d, f, dl
+            )
+            df_total = self.hot_df.get(str(t), d.size)
             rec["term"].append(str(t))
             rec["salt"].append(salt)
             rec["df"].append(int(df_total))
             rec["idf"].append(self._idf(int(df_total)))
-            rec["n"].append(int(e - s))
+            rec["n"].append(int(d.size))
             rec["docs_enc"].append(docs_enc)
             rec["tfs_enc"].append(tfs_enc)
             rec["dls_enc"].append(dls_enc)
-            rec["weights"].append(
-                [round(float(w), 3) for w in weights[s:e]] if has_w else []
-            )
-            rec["positions_enc"].append(
-                encode_positions(pos_lists[s:e]) if has_p else b""
-            )
+            if has_w:
+                w = np.asarray(
+                    pc.list_flatten(w_col.slice(s, e - s)), dtype=np.float64
+                )
+                if order is not None:
+                    w = w[order]
+                rec["weights"].append([round(float(x), 3) for x in w])
+            else:
+                rec["weights"].append([])
+            if has_p:
+                pos = [
+                    pl
+                    for row in p_col.slice(s, e - s).to_pylist()
+                    for pl in row
+                ]
+                if order is not None:
+                    pos = [pos[i] for i in order]
+                rec["positions_enc"].append(encode_positions(pos))
+            else:
+                rec["positions_enc"].append(b"")
             rec["skip_docs"].append(skip_docs)
             rec["block_max_tf"].append(block_max)
-            n_postings += int(e - s)
+            n_postings += int(d.size)
 
         out = pa.table(
             {

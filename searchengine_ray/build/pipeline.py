@@ -5,9 +5,9 @@ Stage graph (cf. reference lifecycle ``indexer.py:21-62``, SURVEY §3.1,
 re-expressed as Dataset pipelines):
 
 1. plan fragments (parquet footers only) → deterministic doc ids
-2. tokenize: ``map_batches(FragmentTokenizeTask, concurrency=actors)``
-   over PENDING fragment descriptors; per-fragment atomic checkpoint
-   (the resume unit — a rerun skips finished fragments)
+2. tokenize: ``map_batches(tokenize_fragment)`` tasks over fragment
+   descriptors; per-fragment atomic checkpoint + stats sidecar (the
+   resume unit — finished fragments are read back, not recomputed)
 3. corpus stats: Sum/Count/Min/Max over the ``dl`` column (replaces the
    reference's O(N) doc_length_normalization JSON footer,
    ``bm25.py:76-81``)
@@ -29,16 +29,16 @@ import pyarrow as pa
 
 from searchengine_ray.build.docids import Fragment, plan_fragments
 from searchengine_ray.build.extract import (
-    FragmentTokenizeTask,
+    fragment_stats_path,
+    make_fragment_build_fn,
     make_tokenizer,
     tokenized_checkpoint_path,
 )
 from searchengine_ray.build.merge import (
+    ShardMergeTask,
     ShardWriter,
-    assign_gkey,
-    exact_hot_df,
-    explode_batch,
-    sample_term_boundaries,
+    SpillWriter,
+    boundaries_from_sample,
 )
 from searchengine_ray.config import IndexConfig, PostingType, RankerType
 
@@ -59,6 +59,60 @@ def _fragments_to_table(frags: list[Fragment]) -> pa.Table:
     )
 
 
+def _presample_boundaries(
+    frags: list[Fragment],
+    cfg: IndexConfig,
+    id_column: str | None,
+    text_column: str,
+    url_column: str | None,
+    max_frags: int = 8,
+    docs_per_frag: int = 1500,
+):
+    """Deterministic boundary/hot pre-sample: a stride of fragments,
+    first ``docs_per_frag`` docs of each, tokenized with the real
+    tokenizer, every k-th term kept. Independent of cluster size →
+    identical boundaries at every parallelism level."""
+    import ray.data
+
+    from searchengine_ray.build.extract import TokenizeStage
+
+    stride = max(1, len(frags) // max_frags)
+    sampled = frags[::stride][:max_frags]
+
+    def sample_fragment(batch: pa.Table) -> pa.Table:
+        from searchengine_ray.build.docids import Fragment as F
+        from searchengine_ray.build.docids import _read_fragment
+
+        stage = TokenizeStage(cfg, text_column=text_column,
+                              url_column=url_column)
+        terms: list[str] = []
+        for row in batch.to_pylist():
+            frag = F(row["fragment_id"], row["path"],
+                     tuple(row["row_groups"][:1]), row["num_rows"],
+                     row["doc_offset"])
+            (src,) = list(_read_fragment(frag, [text_column] if text_column
+                                         else None, id_column))
+            tok = stage(src.slice(0, docs_per_frag))
+            import pyarrow.compute as pc
+
+            flat = pc.list_flatten(tok["terms"])
+            if len(flat):
+                step = max(1, len(flat) // 2000)
+                terms.extend(flat.combine_chunks()[::step].to_pylist())
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    rows = (
+        ray.data.from_arrow(_fragments_to_table(sampled))
+        .repartition(len(sampled))
+        .map_batches(sample_fragment, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    return boundaries_from_sample(
+        [r["term"] for r in rows], cfg.num_shards,
+        hot_salts=cfg.hot_salts, hot_frac=cfg.hot_frac,
+    )
+
+
 def build_index(
     input_paths: list[str] | str,
     out_dir: str,
@@ -75,7 +129,6 @@ def build_index(
     are detected by their deterministic file names and skipped.
     """
     import ray.data
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     cfg = cfg or IndexConfig()
     if overwrite and os.path.isdir(out_dir):
@@ -83,105 +136,106 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     tok_dir = os.path.join(out_dir, "tokenized")
     shard_dir = os.path.join(out_dir, "shards")
-    docmap_dir = os.path.join(out_dir, "docmap")
     metrics: dict = {}
 
     # -- 1. plan -----------------------------------------------------------
     frags = plan_fragments(input_paths)
     n_input_rows = sum(f.num_rows for f in frags)
 
-    # -- 2. tokenize (per-fragment checkpoints) ----------------------------
-    t0 = time.perf_counter()
+    import ray as _ray
+
+    n_cpus = int(_ray.cluster_resources().get("CPU", 4))
     pending = [
         f for f in frags
-        if not os.path.exists(tokenized_checkpoint_path(tok_dir, f.doc_offset))
+        if not (
+            os.path.exists(tokenized_checkpoint_path(tok_dir, f.doc_offset))
+            and os.path.exists(fragment_stats_path(tok_dir, f.doc_offset))
+        )
     ]
-    if pending:
-        import ray as _ray
 
-        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = cfg.extract_concurrency or max(1, min(len(pending), n_cpus - 2))
-        frag_ds = ray.data.from_arrow(_fragments_to_table(pending)).repartition(
-            len(pending)
-        )
-        stats = frag_ds.map_batches(
-            FragmentTokenizeTask,
-            fn_constructor_kwargs=dict(
-                cfg=cfg, out_dir=tok_dir, id_column=id_column,
-                text_column=text_column, url_column=url_column,
-            ),
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            num_cpus=1,
-        ).take_all()
-        metrics["tokenize_postings"] = sum(
-            r["postings"] for r in stats if r["postings"] >= 0
-        )
+    # -- 2. shard boundaries + hot terms from a deterministic pre-sample --
+    # (stride of fragments, first rows of each — independent of cluster
+    # size, so boundaries are stable across runs and parallelism levels)
+    t0 = time.perf_counter()
+    boundaries, hot_salt_of = _presample_boundaries(
+        frags, cfg, id_column, text_column, url_column
+    )
+    metrics["boundaries_sec"] = round(time.perf_counter() - t0, 3)
+
+    # -- 3. the FUSED build wave: fragment → tokenize → checkpoint +
+    # sidecar → local aggregation → spill (one row group per gkey).
+    # One wave of tasks does all heavy compute; only stats return.
+    t0 = time.perf_counter()
+    spill_dir = os.path.join(out_dir, "spill")
+    frag_ds = ray.data.from_arrow(_fragments_to_table(frags)).repartition(
+        len(frags)
+    )
+    spill_stats = frag_ds.map_batches(
+        make_fragment_build_fn(
+            cfg, tok_dir, spill_dir, boundaries, hot_salt_of,
+            id_column=id_column, text_column=text_column,
+            url_column=url_column,
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+        num_cpus=1,
+    ).take_all()
     metrics["tokenize_sec"] = round(time.perf_counter() - t0, 3)
     metrics["tokenize_fragments"] = len(frags)
     metrics["tokenize_fragments_resumed"] = len(frags) - len(pending)
 
-    # -- 3. corpus stats ---------------------------------------------------
+    # -- 4. corpus stats from the per-fragment sidecars (no extra pass;
+    # at >>10^4 fragments fold with a small ray task tree instead) --------
     t0 = time.perf_counter()
-    tok_cols = ["terms", "tfs", "doc_id", "dl"]
-    if cfg.posting_type == PostingType.POSITIONAL:
-        tok_cols.append("positions")
-    if cfg.ranker in (RankerType.TF_IDF, RankerType.TF_IDF_OPTIMIZED):
-        tok_cols.append("tf_weights")
-
-    dl_ds = ray.data.read_parquet(tok_dir, columns=["dl"])
-    agg = dl_ds.aggregate(Count(), Sum("dl"), Min("dl"), Max("dl"))
-    n_docs = int(agg["count()"])
-    total_dl = int(agg["sum(dl)"] or 0)
+    frag_stats = []
+    for f in frags:
+        with open(fragment_stats_path(tok_dir, f.doc_offset)) as fh:
+            frag_stats.append(json.load(fh))
+    n_docs = sum(s["docs"] for s in frag_stats)
+    total_dl = sum(s["sum_dl"] for s in frag_stats)
+    total_postings = sum(s["postings"] for s in frag_stats)
     avgdl = total_dl / n_docs if n_docs else 0.0
+    nonempty = [s for s in frag_stats if s["docs"]]
     # reference B4 needs global min/max of round(dl/avgdl,3) — monotonic in dl
-    min_dldiv = round(int(agg["min(dl)"]) / avgdl, 3) if n_docs and avgdl else 0.0
-    max_dldiv = round(int(agg["max(dl)"]) / avgdl, 3) if n_docs and avgdl else 0.0
+    min_dldiv = round(min(s["min_dl"] for s in nonempty) / avgdl, 3) \
+        if nonempty and avgdl else 0.0
+    max_dldiv = round(max(s["max_dl"] for s in nonempty) / avgdl, 3) \
+        if nonempty and avgdl else 0.0
+    metrics["tokenize_postings"] = total_postings
     metrics["stats_sec"] = round(time.perf_counter() - t0, 3)
 
-    # -- 4. docmap ---------------------------------------------------------
-    t0 = time.perf_counter()
-    if not os.path.isdir(docmap_dir) or overwrite or not os.listdir(docmap_dir):
-        tmp_dir = docmap_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        (
-            ray.data.read_parquet(tok_dir, columns=["doc_id", "url", "dl"])
-            .sort("doc_id")
-            .write_parquet(tmp_dir)
-        )
-        shutil.rmtree(docmap_dir, ignore_errors=True)
-        os.replace(tmp_dir, docmap_dir)
-    metrics["docmap_sec"] = round(time.perf_counter() - t0, 3)
+    # -- 5. docmap / docstats: no extra stage — doc_id→(url, dl) lookups
+    # are served straight from the tokenized checkpoints (files are named
+    # by doc-offset and internally doc-sorted, so the query side binary-
+    # searches the fragment then column-prunes the read; reference
+    # mapping file indexer.py:40-53 is subsumed).
 
-    # -- 5. boundaries + skew ---------------------------------------------
+    # -- 6. the reduce wave of the exchange --------------------------------
     t0 = time.perf_counter()
-    terms_ds = ray.data.read_parquet(tok_dir, columns=["terms"])
-    boundaries, hot_salt_of = sample_term_boundaries(
-        terms_ds, cfg.num_shards, hot_salts=cfg.hot_salts,
-        hot_frac=cfg.hot_frac,
-    )
-    hot_df = exact_hot_df(terms_ds, list(hot_salt_of)) if hot_salt_of else {}
-    metrics["boundaries_sec"] = round(time.perf_counter() - t0, 3)
+    gkeys_of_file = {r["file"]: [int(g) for g in r["gkeys"]]
+                     for r in spill_stats}
+    active_gkeys = sorted({g for gs in gkeys_of_file.values() for g in gs})
+    # exact global dfs for salted terms, folded from the spill stats
+    # (a salted term's records can't see their siblings at merge time)
+    hot_df: dict[str, int] = {}
+    for r in spill_stats:
+        for t, d in zip(r["hot_terms"], r["hot_dfs"]):
+            hot_df[t] = hot_df.get(t, 0) + int(d)
+    metrics["spill_sec"] = round(time.perf_counter() - t0, 3)
+    metrics["spill_files"] = len(gkeys_of_file)
 
-    # -- 6. the term shuffle ----------------------------------------------
-    t0 = time.perf_counter()
-    tok_ds = ray.data.read_parquet(tok_dir, columns=tok_cols)
-    postings = tok_ds.map_batches(explode_batch, batch_format="pyarrow")
-    keyed = postings.map_batches(
-        lambda b: assign_gkey(b, boundaries, hot_salt_of),
-        batch_format="pyarrow",
-    )
+    t1 = time.perf_counter()
     writer = ShardWriter(shard_dir, cfg, n_docs, hot_df)
-
-    def write_shard(group):
-        return writer(group)
-
-    shard_stats = (
-        keyed.groupby("gkey")
-        .map_groups(write_shard, batch_format="pyarrow")
-        .take_all()
-    )
+    gkey_ds = ray.data.from_arrow(
+        pa.table({"gkey": pa.array(active_gkeys, pa.int64())})
+    ).repartition(max(1, min(len(active_gkeys), n_cpus)))
+    shard_stats = gkey_ds.map_batches(
+        ShardMergeTask(gkeys_of_file, writer),
+        batch_format="pyarrow",
+        batch_size=None,
+        num_cpus=1,
+    ).take_all()
+    metrics["reduce_sec"] = round(time.perf_counter() - t1, 3)
     metrics["merge_sec"] = round(time.perf_counter() - t0, 3)
     total_postings = sum(r["n_postings"] for r in shard_stats if r["n_postings"] >= 0)
     metrics["merge_fan_in"] = len(frags)  # every fragment can feed every shard
@@ -226,6 +280,10 @@ def build_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    # build complete → drop the spill exchange (reference deletes its
+    # block files on success too, spimi.py:273-275; an interrupted build
+    # keeps them as the resume point)
+    shutil.rmtree(spill_dir, ignore_errors=True)
     return manifest
 
 

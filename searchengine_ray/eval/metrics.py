@@ -1,0 +1,76 @@
+"""IR evaluation metrics — reference ``efficiency.py`` re-expressed.
+
+The reference aggregates precision / recall / F-score / NDCG / query
+throughput over a golden relevance corpus (``efficiency.py:44-87``,
+qrels format ``Q:<query>`` + ``doc\trelevance{1..3}`` lines,
+``efficiency.py:28-39``). Here qrels are a Parquet/Arrow table
+``(query_id, doc_id, relevance)`` and the evaluation runs the engine's
+searcher per query.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pyarrow as pa
+
+
+def precision_recall_f1(retrieved: list[int], relevant: set[int]):
+    """Reference ``efficiency.py:44-64``: precision = |hits|/|retrieved|,
+    recall = |hits|/|relevant|, F = 2PR/(P+R)."""
+    if not retrieved:
+        return 0.0, 0.0, 0.0
+    hits = sum(1 for d in retrieved if d in relevant)
+    p = hits / len(retrieved)
+    r = hits / len(relevant) if relevant else 0.0
+    f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return p, r, f
+
+
+def ndcg(retrieved: list[int], relevance_of: dict[int, int]) -> float:
+    """Reference ``efficiency.py:65-78``: DCG with gain (2^rel − 1) /
+    log2(i + 2) over retrieved order; IDCG over the golden docs in
+    descending relevance, same positions."""
+    dcg = 0.0
+    for i, d in enumerate(retrieved):
+        rel = relevance_of.get(d, 0)
+        dcg += (2**rel - 1) / math.log2(i + 2)
+    ideal = sorted(relevance_of.values(), reverse=True)[: len(retrieved)]
+    idcg = sum((2**rel - 1) / math.log2(i + 2) for i, rel in enumerate(ideal))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def evaluate(searcher, queries: dict[int, str], qrels: pa.Table,
+             n: int = 10) -> dict:
+    """Run ``queries`` {query_id: text} against ``searcher``, score vs
+    ``qrels`` (query_id, doc_id, relevance). → aggregate metrics dict
+    (means over queries + throughput, reference efficiency.py:80-87)."""
+    rel_of: dict[int, dict[int, int]] = {}
+    for r in qrels.to_pylist():
+        rel_of.setdefault(r["query_id"], {})[r["doc_id"]] = r["relevance"]
+
+    per_query = []
+    times = []
+    for qid, text in queries.items():
+        t0 = time.perf_counter()
+        res = searcher.search(text, n, with_urls=False)
+        times.append(time.perf_counter() - t0)
+        retrieved = res["doc_id"].to_pylist()
+        rels = rel_of.get(qid, {})
+        p, r, f = precision_recall_f1(retrieved, set(rels))
+        per_query.append(
+            {"query_id": qid, "precision": p, "recall": r, "f1": f,
+             "ndcg": ndcg(retrieved, rels)}
+        )
+    m = len(per_query) or 1
+    total_time = sum(times) or 1e-9
+    return {
+        "per_query": per_query,
+        "precision": sum(q["precision"] for q in per_query) / m,
+        "recall": sum(q["recall"] for q in per_query) / m,
+        "f1": sum(q["f1"] for q in per_query) / m,
+        "ndcg": sum(q["ndcg"] for q in per_query) / m,
+        "queries_per_sec": len(per_query) / total_time,
+        "median_latency_ms": sorted(times)[len(times) // 2] * 1000 if times else 0,
+    }

@@ -1,0 +1,188 @@
+"""Text-analysis operators over a documents corpus — vectorized Arrow
+kernels inside ``map_batches``; each has a DuckDB-expressible oracle
+(see __ray_entry__.oracle_sql).
+
+The "simple tokenization" here is deliberately SQL-parity (ASCII
+punctuation → space, lower, whitespace split, length >= 2) so every
+operator can be cross-checked against DuckDB on the same parquet. The
+full reference tokenizer (stemming, stop words — text/tokenizer.py) is
+exercised by the index-build pipelines instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-safe character class of ASCII string.punctuation (reference M1 set)
+PUNCT_CLASS = "[" + re.escape(string.punctuation) + "]"
+# the same class for embedding in a single-quoted SQL literal
+PUNCT_CLASS_SQL = PUNCT_CLASS.replace("'", "''")
+
+MIN_TOKEN_LEN = 2
+
+
+def simple_tokens_flat(texts) -> tuple[pa.Array, pa.Array]:
+    """→ (flat_terms, parent_row_indices), all Arrow kernels."""
+    cleaned = pc.replace_substring_regex(texts, pattern=PUNCT_CLASS, replacement=" ")
+    lists = pc.utf8_split_whitespace(pc.utf8_lower(cleaned))
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+        parents = parents.combine_chunks()
+        mask = mask.combine_chunks()
+    return flat.filter(mask), parents.filter(mask)
+
+
+def _doc_ids_for(batch: pa.Table, parents: pa.Array) -> pa.Array:
+    return pc.take(batch["doc_id"], parents)
+
+
+# -- per-batch transforms (doc-local → final, no shuffle needed) -----------
+
+def postings_tf_batch(batch: pa.Table) -> pa.Table:
+    """(term, doc_id, tf) — doc-local counts are final (a doc never spans
+    batches)."""
+    flat, parents = simple_tokens_flat(batch["text"])
+    t = pa.table({"term": flat, "doc_id": _doc_ids_for(batch, parents)})
+    out = t.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+    return out.rename_columns(["term", "doc_id", "tf"])
+
+
+def doc_lengths_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, dl) under simple tokenization; zero-token docs included."""
+    flat, parents = simple_tokens_flat(batch["text"])
+    n = batch.num_rows
+    counts = np.bincount(
+        np.asarray(parents, dtype=np.int64), minlength=n
+    ).astype(np.int64)
+    return pa.table({"doc_id": batch["doc_id"], "dl": pa.array(counts, pa.int64())})
+
+
+def term_df_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies (combiner before the small
+    groupby-sum — aggregation-at-scale pattern)."""
+    pt = postings_tf_batch(batch)
+    out = pt.group_by("term").aggregate([([], "count_all")])
+    return out.rename_columns(["term", "df_partial"])
+
+
+def term_cf_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial collection frequencies."""
+    flat, _ = simple_tokens_flat(batch["text"])
+    vc = pc.value_counts(flat)
+    if len(vc) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cf_partial": pa.array([], pa.int64())})
+    return pa.table({"term": vc.field("values"),
+                     "cf_partial": vc.field("counts").cast(pa.int64())})
+
+
+_TOKEN_RE_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish pre-token count: letter runs, digit runs, single other
+    non-space chars (same regex as the SQL oracle)."""
+    counts = pc.count_substring_regex(batch["text"], pattern=_TOKEN_RE_BPE)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_pretokens": counts.cast(pa.int64())}
+    )
+
+
+_STOP_SQL = ["the", "and", "of", "to", "in", "is", "it", "on", "for", "as"]
+
+
+def quality_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality signals: chars, tokens, digit chars, punct chars,
+    stop-token hits, summed token length (integer-exact for the SQL
+    oracle; mean = sum/n downstream)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_digits = pc.count_substring_regex(text, pattern="[0-9]").cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, pattern=PUNCT_CLASS).cast(pa.int64())
+    flat, parents = simple_tokens_flat(text)
+    n = batch.num_rows
+    par = np.asarray(parents, dtype=np.int64)
+    n_tokens = np.bincount(par, minlength=n).astype(np.int64)
+    tok_len = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    sum_len = np.bincount(par, weights=tok_len, minlength=n)
+    stop_mask = np.asarray(
+        pc.is_in(flat, value_set=pa.array(_STOP_SQL)), dtype=bool
+    )
+    n_stop = np.bincount(par[stop_mask], minlength=n).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_digit_chars": n_digits,
+            "n_punct_chars": n_punct,
+            "n_stop_tokens": pa.array(n_stop, pa.int64()),
+            "sum_token_len": pa.array(sum_len.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = md5 hex of the raw text (exact-dup key;
+    SQL oracle: ``md5(text)``)."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in batch["text"].to_pylist()]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+# -- language id (heuristic; rows-only oracle) -----------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "des", "une", "que", "dans"},
+    "es": {"el", "la", "los", "de", "que", "es", "en", "una", "por", "con"},
+    "pt": {"de", "que", "não", "uma", "os", "das", "em", "para", "com", "um"},
+}
+
+
+class LangIdStage:
+    """Stop-word-hit language classifier (n-gram-free heuristic): the
+    language whose marker set hits the most tokens wins; ties and
+    zero-hit docs → 'und' (undetermined). Stateful marker tables built
+    once per actor."""
+
+    def __init__(self):
+        self.markers = {
+            lang: pa.array(sorted(ws)) for lang, ws in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = simple_tokens_flat(batch["text"])
+        n = batch.num_rows
+        par = np.asarray(parents, dtype=np.int64)
+        hits = np.zeros((len(self.markers), n), dtype=np.int64)
+        for i, (lang, vs) in enumerate(self.markers.items()):
+            mask = np.asarray(pc.is_in(flat, value_set=vs), dtype=bool)
+            hits[i] = np.bincount(par[mask], minlength=n)
+        langs = list(self.markers.keys())
+        best = hits.argmax(axis=0)
+        best_hits = hits.max(axis=0)
+        if hits.shape[0] > 1:
+            sorted_hits = np.sort(hits, axis=0)
+            tied = sorted_hits[-1] == sorted_hits[-2]
+        else:
+            tied = np.zeros(n, dtype=bool)
+        pred = [
+            "und" if best_hits[j] == 0 or tied[j] else langs[best[j]]
+            for j in range(n)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred, pa.string())}
+        )

@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one float64 matmul against it; each
+batch emits only its local top-k per query, the driver folds the tiny
+partials (no full materialization).
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures (fixed
+constants) bucket vectors, candidates are scored only within matching
+buckets; multiple tables raise recall. Partitioning assumption: bucket
+key distributes uniformly for random hyperplanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_rs = np.random.RandomState(1234)  # fixed constants, not per-run randomness
+_N_PLANES = 12
+_N_TABLES = 4
+
+
+def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float64)
+    dim = len(arr[0])
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class CosineTopKStage:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast
+    query matrix (queries resolved once per actor in ``__init__``)."""
+
+    def __init__(self, queries_ref, k: int = 5, id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = np.asarray(q["query_ids"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch))
+        sims = self.qm @ m.T  # (Q, B)
+        qids, vids, svals = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            mask = vec_ids != self.query_ids[qi]  # exclude self-match
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            sub = row[idx]
+            top = idx[np.lexsort((vec_ids[idx], -sub))[:k]]
+            qids.extend([int(self.query_ids[qi])] * len(top))
+            vids.extend(vec_ids[top].tolist())
+            svals.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "vec_id": pa.array(vids, pa.int64()),
+                "sim": pa.array(svals, pa.float64()),
+            }
+        )
+
+
+def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 5):
+    """Brute-force exact cosine top-k for ``query_ids`` → small pyarrow
+    Table (query_id, vec_id, sim, rank). Exactly one pass over the data;
+    driver folds per-batch partials."""
+    import pyarrow.compute as pc
+    import ray
+
+    qset = pa.array(sorted(query_ids), pa.int64())
+    q_rows = embeddings_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()  # only the handful of query rows reach the driver
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qm = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    ref = ray.put({"query_ids": qids, "matrix": qm})
+
+    partials = embeddings_ds.map_batches(
+        CosineTopKStage,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    ).take_all()
+
+    # fold tiny partials per query
+    best: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["sim"], r["vec_id"]))
+    qout, vout, sout, rout = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, vid) in enumerate(cand, 1):
+            qout.append(qid)
+            vout.append(vid)
+            sout.append(sim)
+            rout.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(qout, pa.int64()),
+            "vec_id": pa.array(vout, pa.int64()),
+            "sim": pa.array(sout, pa.float64()),
+            "rank": pa.array(rout, pa.int32()),
+        }
+    )
+
+
+# -- LSH-bucketed variant (scale path) ------------------------------------
+
+_PLANES: np.ndarray | None = None
+
+
+def _planes(dim: int) -> np.ndarray:
+    global _PLANES
+    if _PLANES is None or _PLANES.shape[2] != dim:
+        _PLANES = _rs.randn(_N_TABLES, _N_PLANES, dim)
+    return _PLANES
+
+
+def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
+    """(table_id, bucket, vec_id) — random-hyperplane signature rows."""
+    m = _normalize(_embedding_matrix(batch))
+    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    planes = _planes(m.shape[1])
+    tables, buckets, vids = [], [], []
+    for t in range(_N_TABLES):
+        signs = (m @ planes[t].T) > 0  # (B, P)
+        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        for p in range(_N_PLANES):
+            bucket |= signs[:, p].astype(np.int64) << p
+        tables.extend([t] * m.shape[0])
+        buckets.extend(bucket.tolist())
+        vids.extend(vec_ids.tolist())
+    return pa.table(
+        {
+            "table_id": pa.array(tables, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": pa.array(vids, pa.int64()),
+        }
+    )
+
+
+def lsh_candidate_pairs(embeddings_ds, max_bucket: int = 500):
+    """Near-neighbor candidate pairs via hyperplane-LSH bucketing
+    (one groupby shuffle on (table, bucket))."""
+    from searchengine_ray.pipelines.dedup import bucket_pairs_group
+
+    rows = embeddings_ds.map_batches(lsh_bucket_batch, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        renamed = group.rename_columns(
+            ["band", "bucket", "doc_id"]
+        )
+        return bucket_pairs_group(renamed, max_bucket=max_bucket)
+
+    out = rows.groupby(["table_id", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    return out.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    ).select_columns(["doc_a", "doc_b"])

@@ -31,6 +31,7 @@ class Searcher:
         b: float | None = None,
         smart_schema: str | None = None,
         cache_size: int = 10_000,
+        use_wand: bool = False,
     ):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -45,11 +46,14 @@ class Searcher:
         if smart_schema is not None:
             cfg.smart_schema = smart_schema
         self.cfg = cfg
+        self.use_wand = use_wand
+        self.wand_stats: dict = {}
         self.stats = self.manifest["corpus"]
         self.tokenizer = make_tokenizer(cfg)
         self.scorer = make_scorer(cfg, self.stats)
         self.reader = ShardReader(self.manifest, cache_size=cache_size)
-        self._docmap_files: list[str] | None = None
+        self._docmap_files: list | None = None
+        self._url_cache: dict[int, str] = {}
 
     # -- core --------------------------------------------------------------
 
@@ -57,6 +61,13 @@ class Searcher:
         """→ (doc_ids, scores) arrays, top-n by (score desc, doc_id asc)."""
         n = n or self.cfg.default_top_k
         recs = self.reader.fetch(tokens)
+        if self.use_wand and self.cfg.ranker == RankerType.BM25:
+            from searchengine_ray.query.wand import bm25_wand_topk
+
+            docs, scores, self.wand_stats = bm25_wand_topk(
+                tokens, recs, self.scorer, n
+            )
+            return docs, scores
         doc_ids, scores = self.scorer.score(tokens, recs)
         if self.cfg.ranker == RankerType.RAW:
             return doc_ids[:n], scores[:n]  # reference truncates unsorted
@@ -75,24 +86,45 @@ class Searcher:
             cols["url"] = pa.array(self.urls_of(doc_ids), pa.string())
         return pa.table(cols)
 
-    # -- docmap join (reference J2: top-k is tiny → lookup, no shuffle) ----
+    # -- docmap join (reference J2: top-k is tiny → lookup, no shuffle).
+    # The docmap IS the tokenized checkpoint: files are named by their
+    # doc-offset and doc-sorted inside, so a doc_id binary-searches to
+    # exactly one file and the read prunes to the (doc_id, url) columns.
 
     def urls_of(self, doc_ids: np.ndarray) -> list[str]:
         import glob
         import os
 
         if self._docmap_files is None:
-            self._docmap_files = sorted(
-                glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
+            files = sorted(
+                glob.glob(os.path.join(self.index_dir, "tokenized", "*.parquet"))
             )
+            ranges = []
+            for f in files:  # footer-only reads: (min, max) doc_id per file
+                meta = pq.read_metadata(f)
+                idx = meta.schema.names.index("doc_id")
+                lo = min(meta.row_group(i).column(idx).statistics.min
+                         for i in range(meta.num_row_groups))
+                hi = max(meta.row_group(i).column(idx).statistics.max
+                         for i in range(meta.num_row_groups))
+                ranges.append((lo, hi, f))
+            self._docmap_files = ranges
         wanted = [int(d) for d in doc_ids]
         if not wanted:
             return []
-        url_of: dict[int, str] = {}
-        for f in self._docmap_files:
-            tbl = pq.read_table(
-                f, columns=["doc_id", "url"], filters=[("doc_id", "in", wanted)]
-            )
+        url_of = self._url_cache
+        by_file: dict[str, list[int]] = {}
+        for d in wanted:
+            if d in url_of:
+                continue
+            for lo, hi, f in self._docmap_files:
+                if lo <= d <= hi:
+                    by_file.setdefault(f, []).append(d)
+                    break
+        for f, ds in by_file.items():
+            # one columnar read caches the whole fragment's mapping (a
+            # fragment is ~10^5 rows — bounded; hot fragments amortize)
+            tbl = pq.read_table(f, columns=["doc_id", "url"])
             url_of.update(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
         return [url_of.get(d, "") for d in wanted]
 

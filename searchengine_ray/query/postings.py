@@ -33,7 +33,17 @@ class PostingsRec:
     dls: np.ndarray
     weights: np.ndarray | None = None
     positions: list | None = None
+    block_max_tf: list | None = None   # per-128-posting max tf (WAND)
     _pos_of: dict | None = field(default=None, repr=False)
+    # per-query-engine caches (filled by scorers; keyed to one index's
+    # avgdl so safe to store on the record)
+    _tfs64: np.ndarray | None = field(default=None, repr=False)
+    _dldiv: np.ndarray | None = field(default=None, repr=False)
+
+    def tfs_f64(self) -> np.ndarray:
+        if self._tfs64 is None:
+            self._tfs64 = self.tfs.astype(np.float64)
+        return self._tfs64
 
     def positions_of(self, doc_id: int) -> list:
         if self.positions is None:
@@ -56,6 +66,7 @@ def _decode_row(row: dict) -> PostingsRec:
     return PostingsRec(
         term=row["term"], df=int(row["df"]), idf=float(row["idf"]),
         doc_ids=doc_ids, tfs=tfs, dls=dls, weights=weights, positions=positions,
+        block_max_tf=row.get("block_max_tf"),
     )
 
 

@@ -36,25 +36,31 @@ def _unique_in_order(tokens: list[str]) -> list[str]:
 
 def _fold_scores(doc_chunks, contrib_chunks):
     """Concatenate per-term (docs, contribs) and fold per doc in term
-    order (reference accumulation order)."""
+    order. ``np.bincount`` accumulates strictly sequentially in array
+    order — the exact float-add sequence of the reference's
+    ``scores[doc] += …`` loop (np.add.reduceat is NOT sequential: it
+    unrolls with partial accumulators and differs in the last ulp)."""
     if not doc_chunks:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.concatenate(doc_chunks)
     contribs = np.concatenate(contrib_chunks)
-    order = np.argsort(docs, kind="stable")
-    docs_s = docs[order]
-    contribs_s = contribs[order]
-    starts = np.concatenate(([0], np.flatnonzero(np.diff(docs_s)) + 1))
-    sums = np.add.reduceat(contribs_s, starts)
-    return docs_s[starts], sums
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=contribs, minlength=uniq.size)
+    return uniq, sums
 
 
 def top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Deterministic top-k: (score desc, doc_id asc) — documented tie
-    rule (the reference's tie order is dict-insertion, SURVEY §7.7)."""
+    rule (the reference's tie order is dict-insertion, SURVEY §7.7).
+    Partition-select for k << n, exact under score ties."""
     if doc_ids.size == 0:
         return doc_ids[:0], scores[:0]
-    order = np.lexsort((doc_ids, -scores))[:k]
+    if doc_ids.size > 4 * k:
+        kth = -np.partition(-scores, k - 1)[k - 1]  # k-th largest score
+        cand = np.flatnonzero(scores >= kth)  # includes boundary ties
+        order = cand[np.lexsort((doc_ids[cand], -scores[cand]))[:k]]
+    else:
+        order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
 
 
@@ -90,10 +96,11 @@ class BM25Scorer:
         self.dldiv = DlDivTable(stats["avgdl"])
 
     def term_contrib(self, rec):
-        tf = rec.tfs.astype(np.float64)
-        dldiv = self.dldiv(rec.dls)
+        tf = rec.tfs_f64()
+        if rec._dldiv is None:
+            rec._dldiv = self.dldiv(rec.dls)
         k, b = self.k, self.b
-        return rec.idf * (tf * (k + 1)) / (tf + k * (1 - b + b * dldiv))
+        return rec.idf * (tf * (k + 1)) / (tf + k * (1 - b + b * rec._dldiv))
 
     def score(self, query_tokens: list[str], recs: dict) -> tuple:
         doc_chunks, contrib_chunks = [], []
@@ -202,7 +209,9 @@ class BM25PositionalScorer(BM25Scorer):
         for rec in recs.values():
             if rec is None:
                 continue
-            dldiv = self.dldiv(rec.dls)
+            if rec._dldiv is None:
+                rec._dldiv = self.dldiv(rec.dls)
+            dldiv = rec._dldiv
             for d, v in zip(rec.doc_ids.tolist(), dldiv.tolist()):
                 dldiv_of.setdefault(d, v)
         span = self.max_dldiv - self.min_dldiv

@@ -75,8 +75,38 @@ def materialize_pages(sf_dir: str, out_dir: str, files: int = 8) -> list[str]:
             continue
         chunk = pages.slice(i * per, per)
         tmp = str(p) + ".tmp"
-        pq.write_table(chunk, tmp)
+        pq.write_table(chunk, tmp, row_group_size=2500)
         os.replace(tmp, p)  # atomic publish
+    return sorted(paths)
+
+
+def materialize_bench_corpus(
+    sf_dir: str, out_dir: str, replicas: int = 20, replicas_per_file: int = 4
+) -> list[str]:
+    """Deterministic inflated bench corpus: the sf pages table replicated
+    ``replicas`` times with unique urls (`?r=N`) — sized so index-build
+    throughput dominates fixed pipeline overheads at bench scale.
+    Idempotent per (sf_dir, replicas)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    doc_table = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    base = pages_table_from_documents(doc_table)
+    paths = []
+    for r0 in range(0, replicas, replicas_per_file):
+        p = out / f"pages-r{r0:04d}.parquet"
+        paths.append(str(p))
+        if p.exists():
+            continue
+        chunks = []
+        for r in range(r0, min(r0 + replicas_per_file, replicas)):
+            urls = pa.array(
+                [f"{u}?r={r}" for u in base["url"].to_pylist()], pa.string()
+            )
+            chunks.append(base.set_column(0, "url", urls))
+        tbl = pa.concat_tables(chunks)
+        tmp = str(p) + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=len(tbl))
+        os.replace(tmp, p)
     return sorted(paths)
 
 

@@ -1,0 +1,186 @@
+"""Training-data pipeline operators: dedup, similarity, analysis — plus
+build resumability. SQL-checkable operators are compared against DuckDB
+in-test at sf0.001 (the driver repeats this at sf0.01)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [
+    "doc_lengths", "postings_tf", "term_df", "top_terms", "bm25_topk",
+    "exact_dedup", "quality_stats", "ann_cosine_topk",
+])
+def test_query_matches_oracle(ray_session, ddb, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    ours = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    theirs = ddb.sql(e.oracle_sql()[name]).df()
+    ours, theirs = _canon(ours), _canon(theirs)
+    assert list(ours.columns) == list(theirs.columns)
+    assert len(ours) == len(theirs)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(ours, theirs, check_dtype=False)
+
+
+def _docs_from(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR_B = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+OTHER = "completely different content about database systems and query engines"
+
+
+def test_minhash_finds_near_dups(ray_session):
+    from searchengine_ray.pipelines.dedup import exact_jaccard, minhash_candidates
+
+    rows = [(0, NEAR_A), (1, NEAR_B), (2, OTHER), (3, "tiny"),
+            (4, NEAR_A)]  # 4 = exact dup of 0
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_candidates(_docs_from(rows)).take_all()}
+    assert (0, 4) in pairs          # exact dup always collides
+    assert (0, 1) in pairs or (1, 4) in pairs  # near dup (13/15 shingles)
+    assert (2, 3) not in pairs
+    j = exact_jaccard(NEAR_A, NEAR_B)
+    assert 0.7 < j < 1.0
+    assert exact_jaccard(NEAR_A, NEAR_A) == 1.0
+
+
+def test_simhash_pairs(ray_session):
+    from searchengine_ray.pipelines.dedup import simhash_pairs
+
+    rows = [(0, NEAR_A), (1, NEAR_B), (2, OTHER), (4, NEAR_A)]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_pairs(_docs_from(rows)).take_all()}
+    assert pairs.get((0, 4)) == 0   # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_cosine_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import cosine_topk
+
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    t = cosine_topk(ray.data.from_arrow(emb), query_ids=[0, 1], k=3)
+    m = np.asarray(emb["embedding"].combine_chunks().values,
+                   dtype=np.float64).reshape(emb.num_rows, -1)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    for qid in (0, 1):
+        sims = m[ids == qid] @ m.T
+        sims = sims[0]
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:3]
+        expect = ids[mask][order].tolist()
+        got = [r["vec_id"] for r in t.to_pylist() if r["query_id"] == qid]
+        assert got == expect
+
+
+def test_langid(ray_session):
+    from searchengine_ray.pipelines.analysis import LangIdStage
+
+    stage = LangIdStage()
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog is in that house with it",
+            "der hund und die katze ist nicht mit ein haus",
+            "le chat et la maison est dans les rues",
+            "xyzzy plugh",
+        ], pa.string()),
+    })
+    out = stage(batch)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_multimodal_features(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.multimodal import (
+        BinaryFeatureStage,
+        extract_binary_features,
+    )
+
+    tbl = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "html": pa.array([b"<html>x</html>", None], pa.binary()),
+    })
+    out = extract_binary_features(
+        ray.data.from_arrow(tbl), column="html", concurrency=1
+    ).take_all()
+    assert out[0]["payload_bytes"] == 14
+    assert out[0]["magic"] == b"<htm".hex()
+    assert len(out[0]["features"]) == 8
+    assert out[1]["payload_bytes"] == 0
+    # determinism: same payload → same features
+    s = BinaryFeatureStage(column="html")
+    a = s(tbl)["features"].to_pylist()
+    b = s(tbl)["features"].to_pylist()
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        BinaryFeatureStage(column="html", decoder="real")(tbl)
+
+
+def test_build_resume(ray_session, tmp_path):
+    """Kill-and-resume: removing one shard file and rerunning (no
+    overwrite) redoes only the missing shard; tokenized checkpoints are
+    skipped; results identical (north rule resumability)."""
+    import glob
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import materialize_pages
+
+    pages = materialize_pages(SF, str(tmp_path / "pages"), files=4)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_shards=3)
+    build_index(pages, idx, cfg)
+    s1 = Searcher(idx)
+    r1 = s1.search("fast spark join", 5).to_pydict()
+
+    shard_files = sorted(glob.glob(os.path.join(idx, "shards", "*.parquet")))
+    os.remove(shard_files[0])
+    tok_mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(idx, "tokenized", "*.parquet"))
+    }
+    m2 = build_index(pages, idx, cfg)  # resume
+    assert m2["metrics"]["tokenize_fragments_resumed"] == \
+        m2["metrics"]["tokenize_fragments"]
+    for f, t in tok_mtimes.items():
+        assert os.path.getmtime(f) == t  # untouched
+    assert os.path.exists(shard_files[0])  # rebuilt
+    r2 = Searcher(idx).search("fast spark join", 5).to_pydict()
+    assert r1 == r2
