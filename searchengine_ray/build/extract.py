@@ -23,8 +23,12 @@ ST1) happens once per actor in ``__init__``; work per batch in
 from __future__ import annotations
 
 import os
+import re
+import string
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from searchengine_ray.config import IndexConfig, PostingType, RankerType
@@ -33,6 +37,9 @@ from searchengine_ray.text.tokenizer import (
     DEFAULT_STOP_WORDS,
     Tokenizer,
 )
+
+_PUNCT_RE = "[" + re.escape(string.punctuation) + "]"
+_WS_RE = "[\\r\\x0b\\x0c]"  # \S-whitespace that survives the punct map
 
 TOKENIZED_SCHEMA = pa.schema(
     [
@@ -75,24 +82,135 @@ class TokenizeStage:
             RankerType.TF_IDF, RankerType.TF_IDF_OPTIMIZED
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        doc_ids = batch["doc_id"].to_pylist()
-        if self.url_column is not None and self.url_column in batch.column_names:
-            urls = batch[self.url_column].to_pylist()
-        else:
-            urls = [str(d) for d in doc_ids]
+    # -- vectorized ASCII fast path ---------------------------------------
+    # Arrow kernels reproduce the reference tokenizer EXACTLY for
+    # ASCII-only rows (punct→space, \r\f\v are \S-separators, lower,
+    # \t/\n become literal one-char tokens, min-len, stop words, stem on
+    # DISTINCT tokens only). Rows containing non-ASCII take the per-row
+    # Python path (full-Unicode str.lower parity).
 
+    def _flat_tokens_vector(self, texts: pa.Array):
+        """→ (flat_stemmed pa.StringArray, parents int64 ndarray) for the
+        concatenated token streams of all rows (order preserved)."""
+        t = pc.replace_substring_regex(texts, pattern=_PUNCT_RE, replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=_WS_RE, replacement=" ")
+        t = pc.ascii_lower(t)
+        t = pc.replace_substring(t, pattern="\t", replacement=" \t ")
+        t = pc.replace_substring(t, pattern="\n", replacement=" \n ")
+        lists = pc.split_pattern(t, pattern=" ")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parents, pa.ChunkedArray):
+            parents = parents.combine_chunks()
+        lens = pc.utf8_length(flat)
+        keep = pc.greater_equal(lens, max(1, self.cfg.min_token_length or 1)) \
+            if self.cfg.min_token_length else pc.greater_equal(lens, 1)
+        flat = flat.filter(keep)
+        parents = parents.filter(keep)
+        stop = self.tokenizer.stop_words
+        if stop:
+            keep2 = pc.invert(pc.is_in(flat, value_set=pa.array(sorted(stop))))
+            flat = flat.filter(keep2)
+            parents = parents.filter(keep2)
+        if self._stem is not None and len(flat):
+            uniq = pc.unique(flat)
+            stem = self._stem
+            stemmed_uniq = pa.array([stem(u) for u in uniq.to_pylist()],
+                                    pa.string())
+            idx = pc.index_in(flat, value_set=uniq)
+            flat = stemmed_uniq.take(idx)
+        return flat, np.asarray(parents, dtype=np.int64)
+
+    def _doc_major_vector(self, n_docs: int, flat: pa.Array,
+                          parents: np.ndarray):
+        """Flat (stemmed) token stream → per-doc list columns, all numpy/
+        Arrow (no per-doc Python)."""
+        need_pos, need_w = self.need_positions, self.need_weights
+        total = len(flat)
+        dls = np.bincount(parents, minlength=n_docs).astype(np.int32) \
+            if total else np.zeros(n_docs, np.int32)
+        if total == 0:
+            empty_off = np.zeros(n_docs + 1, np.int32)
+            es = pa.ListArray.from_arrays(pa.array(empty_off, pa.int32()),
+                                          pa.array([], pa.string()))
+            ei = pa.ListArray.from_arrays(pa.array(empty_off, pa.int32()),
+                                          pa.array([], pa.int32()))
+            epos = pa.ListArray.from_arrays(
+                pa.array(empty_off, pa.int32()),
+                pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                         pa.array([], pa.int32())))
+            ew = pa.ListArray.from_arrays(pa.array(empty_off, pa.int32()),
+                                          pa.array([], pa.float64()))
+            return dls, es, ei, epos, ew
+        # token position within its doc (parents nondecreasing)
+        doc_first = np.searchsorted(parents, np.arange(n_docs))
+        pos_in_doc = (np.arange(total) - doc_first[parents]).astype(np.int32)
+        # integer codes for fast lexsort
+        uniq = pc.unique(flat)
+        codes = np.asarray(pc.index_in(flat, value_set=uniq), dtype=np.int64)
+        order = np.lexsort((pos_in_doc, codes, parents))
+        p_s, c_s, pos_s = parents[order], codes[order], pos_in_doc[order]
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        np.not_equal(p_s[1:], p_s[:-1], out=change[1:])
+        change[1:] |= c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.append(starts, total)).astype(np.int32)
+        run_parent = p_s[starts]
+        run_code = c_s[starts]
+        runs_per_doc = np.bincount(run_parent, minlength=n_docs)
+        doc_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
+
+        term_values = uniq.take(pa.array(run_code, pa.int64()))
+        terms_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
+                                             term_values)
+        tfs_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
+                                           pa.array(run_len, pa.int32()))
+        if need_pos:
+            inner_off = np.append(starts, total).astype(np.int32)
+            inner = pa.ListArray.from_arrays(pa.array(inner_off, pa.int32()),
+                                             pa.array(pos_s, pa.int32()))
+            pos_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
+                                               inner)
+        else:
+            eoff = np.zeros(n_docs + 1, np.int32)
+            pos_col = pa.ListArray.from_arrays(
+                pa.array(eoff, pa.int32()),
+                pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                         pa.array([], pa.int32())))
+        if need_w:
+            schema0 = self.cfg.smart_schema[0]
+            tf = run_len.astype(np.float64)
+            if schema0 == "l":
+                w = 1.0 + np.log(tf)
+            elif schema0 == "b":
+                w = np.ones_like(tf)
+            else:
+                w = tf
+            if self.cfg.smart_schema[2] == "c":
+                sumsq = np.bincount(run_parent, weights=w * w,
+                                    minlength=n_docs)
+                norm = np.sqrt(sumsq)
+                norm[norm == 0] = 1.0
+                w = w / norm[run_parent]
+            else:
+                w = np.ones_like(w)
+            w_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
+                                             pa.array(w, pa.float64()))
+        else:
+            eoff = np.zeros(n_docs + 1, np.int32)
+            w_col = pa.ListArray.from_arrays(pa.array(eoff, pa.int32()),
+                                             pa.array([], pa.float64()))
+        return dls, terms_col, tfs_col, pos_col, w_col
+
+    def _rows_python(self, texts: list):
+        """Reference-exact per-row path (full Unicode)."""
         tokenize = self.tokenizer.tokenize
         schema0 = self.cfg.smart_schema
         need_pos, need_w = self.need_positions, self.need_weights
-
-        dls: list[int] = []
-        terms_col: list[list[str]] = []
-        tfs_col: list[list[int]] = []
-        pos_col: list[list[list[int]]] = []
-        w_col: list[list[float]] = []
-
+        dls, terms_col, tfs_col, pos_col, w_col = [], [], [], [], []
         for text in texts:
             tokens = tokenize(text) if text else []
             dls.append(len(tokens))
@@ -112,11 +230,50 @@ class TokenizeStage:
                 w_col.append(list(w.values()))
             else:
                 w_col.append([])
+        return dls, terms_col, tfs_col, pos_col, w_col
 
+    @property
+    def _stem(self):
+        st = self.tokenizer._stemmer
+        return st.stem if st is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"]
+        n = batch.num_rows
+        if self.url_column is not None and self.url_column in batch.column_names:
+            urls = batch[self.url_column].cast(pa.string())
+        else:
+            urls = pa.array([str(d) for d in doc_ids.to_pylist()], pa.string())
+        texts = batch[self.text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.cast(pa.large_string())
+        texts = pc.fill_null(texts, "")
+        # ASCII iff byte length == char length
+        ascii_all = pc.all(
+            pc.equal(pc.binary_length(texts), pc.utf8_length(texts))
+        ).as_py()
+        if ascii_all:
+            flat, parents = self._flat_tokens_vector(texts)
+            dls, terms_col, tfs_col, pos_col, w_col = self._doc_major_vector(
+                n, flat, parents
+            )
+            return pa.table({
+                "doc_id": doc_ids.cast(pa.int64()),
+                "url": urls,
+                "dl": pa.array(dls, pa.int32()),
+                "terms": terms_col,
+                "tfs": tfs_col,
+                "positions": pos_col,
+                "tf_weights": w_col,
+            })
+        dls, terms_col, tfs_col, pos_col, w_col = self._rows_python(
+            texts.to_pylist()
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "url": pa.array(urls, pa.string()),
+                "doc_id": doc_ids.cast(pa.int64()),
+                "url": urls,
                 "dl": pa.array(dls, pa.int32()),
                 "terms": pa.array(terms_col, pa.list_(pa.string())),
                 "tfs": pa.array(tfs_col, pa.list_(pa.int32())),

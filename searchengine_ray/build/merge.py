@@ -51,7 +51,9 @@ def _shard_ids(terms: pa.Array, boundaries: list[str]) -> np.ndarray:
     return shard
 
 
-def _list_array(values: pa.Array, offsets: np.ndarray) -> pa.ListArray:
+def _list_array(values, offsets: np.ndarray) -> pa.ListArray:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
@@ -82,23 +84,35 @@ def local_postings_batch(
         if len(p) == len(flat_terms):
             cols["positions"] = p
     flat = pa.table(cols)
-    if flat.num_rows == 0:
+    n = flat.num_rows
+    if n == 0:
         return _empty_local_table("tf_weight" in cols, "positions" in cols)
 
-    flat = flat.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-    flat = flat.combine_chunks()
-    terms_np = np.asarray(flat["term"].to_pylist(), dtype=object)
-    uniq, starts = np.unique(terms_np, return_index=True)
-    n = len(terms_np)
-    offsets = np.append(starts, n).astype(np.int32)
+    # group by term via integer codes + stable argsort (strings only
+    # touched once for the per-batch distinct set); stability keeps docs
+    # ascending within each term (input is doc-major ascending)
+    uniq_terms = pc.unique(flat_terms)
+    codes = np.asarray(pc.index_in(flat_terms, value_set=uniq_terms),
+                       dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    order_pa = pa.array(order, pa.int64())
+    c_s = codes[order]
+    run_starts = np.concatenate(([0], np.flatnonzero(np.diff(c_s)) + 1))
+    offsets = np.append(run_starts, n).astype(np.int32)
 
-    # run-offset list construction: zero-copy over the sorted columns
-    doc_lists = _list_array(flat["doc_id"].chunk(0), offsets)
-    tf_lists = _list_array(flat["tf"].chunk(0), offsets)
-    dl_lists = _list_array(flat["dl"].chunk(0), offsets)
-    first_docs = flat["doc_id"].chunk(0).take(pa.array(starts, pa.int64()))
-    term_arr = pa.array([str(t) for t in uniq], pa.string())
+    sorted_docs = flat["doc_id"].take(order_pa)
+    if isinstance(sorted_docs, pa.ChunkedArray):
+        sorted_docs = sorted_docs.combine_chunks()
+    doc_lists = _list_array(sorted_docs, offsets)
+    tf_lists = _list_array(flat["tf"].combine_chunks().take(order_pa), offsets)
+    dl_lists = _list_array(flat["dl"].combine_chunks().take(order_pa), offsets)
+    starts = run_starts
+    first_docs = sorted_docs.take(pa.array(starts, pa.int64()))
+    term_arr = uniq_terms.take(pa.array(c_s[starts], pa.int64()))
+    if isinstance(term_arr, pa.ChunkedArray):
+        term_arr = term_arr.combine_chunks()
     shard = _shard_ids(term_arr, boundaries)
+    uniq = term_arr  # alias for row count below
 
     out = {
         "gkey": pa.array(shard * MAX_SALTS, pa.int64()),
@@ -110,9 +124,13 @@ def local_postings_batch(
         "dls": dl_lists,
     }
     if "tf_weight" in cols:
-        out["weights"] = _list_array(flat["tf_weight"].chunk(0), offsets)
+        out["weights"] = _list_array(
+            flat["tf_weight"].combine_chunks().take(order_pa), offsets
+        )
     if "positions" in cols:
-        out["positions"] = _list_array(flat["positions"].chunk(0), offsets)
+        out["positions"] = _list_array(
+            flat["positions"].combine_chunks().take(order_pa), offsets
+        )
     tbl = pa.table(out)
 
     if hot_salt_of:
@@ -145,34 +163,54 @@ def _salt_hot_rows(tbl: pa.Table, hot_salt_of: dict[str, int]) -> pa.Table:
     if not hot_mask_np.any():
         return tbl
     keep = tbl.filter(pc.invert(hot_mask))
-    hot = tbl.filter(hot_mask)
-    rows = hot.to_pylist()
-    out_rows = []
-    for r in rows:
-        nsalt = max(1, min(hot_salt_of.get(r["term"], 1), MAX_SALTS))
-        docs = np.asarray(r["doc_ids"], dtype=np.int64)
+    hot = tbl.filter(hot_mask).combine_chunks()
+    has_w = "weights" in tbl.column_names
+    has_p = "positions" in tbl.column_names
+    o = {k: [] for k in ("gkey", "term", "salt", "first_doc")}
+    doc_chunks, tf_chunks, dl_chunks, w_chunks, p_chunks = [], [], [], [], []
+    for i in range(hot.num_rows):
+        term = hot["term"][i].as_py()
+        nsalt = max(1, min(hot_salt_of.get(term, 1), MAX_SALTS))
+        docs = np.asarray(hot["doc_ids"][i].values, dtype=np.int64)
+        tfs = np.asarray(hot["tfs"][i].values, dtype=np.int32)
+        dls = np.asarray(hot["dls"][i].values, dtype=np.int32)
+        ws = (np.asarray(hot["weights"][i].values, dtype=np.float64)
+              if has_w else None)
+        ps = hot["positions"][i].as_py() if has_p else None
         salts = docs % nsalt
+        gkey0 = int(hot["gkey"][i].as_py())
         for s in range(nsalt):
             m = salts == s
             if not m.any():
                 continue
-            nr = dict(r)
-            nr["gkey"] = r["gkey"] + s
-            nr["salt"] = s
-            nr["first_doc"] = int(docs[m][0])
-            nr["doc_ids"] = docs[m].tolist()
-            nr["tfs"] = np.asarray(r["tfs"])[m].tolist()
-            nr["dls"] = np.asarray(r["dls"])[m].tolist()
-            if "weights" in r and r["weights"] is not None:
-                nr["weights"] = np.asarray(r["weights"])[m].tolist()
-            if "positions" in r and r["positions"] is not None:
-                nr["positions"] = [p for p, mm in zip(r["positions"], m) if mm]
-            out_rows.append(nr)
-    if not out_rows:
+            o["gkey"].append(gkey0 + s)
+            o["term"].append(term)
+            o["salt"].append(s)
+            o["first_doc"].append(int(docs[m][0]))
+            doc_chunks.append(docs[m])
+            tf_chunks.append(tfs[m])
+            dl_chunks.append(dls[m])
+            if has_w:
+                w_chunks.append(ws[m])
+            if has_p:
+                p_chunks.append([p for p, mm in zip(ps, m) if mm])
+    if not o["gkey"]:
         return keep
-    return pa.concat_tables(
-        [keep, pa.Table.from_pylist(out_rows, schema=tbl.schema)]
-    )
+    cols = {
+        "gkey": pa.array(o["gkey"], pa.int64()),
+        "term": pa.array(o["term"], pa.string()),
+        "salt": pa.array(o["salt"], pa.int32()),
+        "first_doc": pa.array(o["first_doc"], pa.int64()),
+        "doc_ids": pa.array(doc_chunks, pa.list_(pa.int64())),
+        "tfs": pa.array(tf_chunks, pa.list_(pa.int32())),
+        "dls": pa.array(dl_chunks, pa.list_(pa.int32())),
+    }
+    if has_w:
+        cols["weights"] = pa.array(w_chunks, pa.list_(pa.float64()))
+    if has_p:
+        cols["positions"] = pa.array(p_chunks, pa.list_(pa.list_(pa.int32())))
+    salted = pa.table(cols).select(tbl.column_names)
+    return pa.concat_tables([keep, salted])
 
 
 def boundaries_from_sample(

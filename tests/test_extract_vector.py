@@ -1,0 +1,89 @@
+"""The vectorized ASCII tokenize path must be semantically identical to
+the reference-exact per-row Python path (term/tf/position multisets and
+tf_weights per doc; term ORDER within a doc is unspecified)."""
+
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.build.extract import TokenizeStage
+from searchengine_ray.config import IndexConfig, PostingType, RankerType
+
+ASCII_TEXTS = [
+    "Hello, World! It's a test -- with_underscores and-dashes.",
+    "tabs\tbecome\ttokens\nand newlines too\n\n",
+    "UPPER lower MiXeD CaSe",
+    "a ab abc abcd",
+    "the and of a to stop words STOP The",
+    "games gaming gamer caresses ponies ties",
+    "123 4.56 7,8 9-10 a1b2",
+    "  leading and trailing   spaces  ",
+    "",
+    "\t\n",
+    "date: 2021-01-01 time: 12:34:56!",
+    "repeat repeat repeat one two one",
+    "x\ry\x0bz\x0cw",
+]
+
+
+def _tbl(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+        "text": pa.array(texts, pa.large_string()),
+    })
+
+
+def _canon(tok):
+    """Per-doc canonical dict: term → (tf, positions, weight)."""
+    out = []
+    for i in range(tok.num_rows):
+        terms = tok["terms"][i].as_py()
+        tfs = tok["tfs"][i].as_py()
+        pos = tok["positions"][i].as_py()
+        ws = tok["tf_weights"][i].as_py()
+        d = {}
+        for j, t in enumerate(terms):
+            d[t] = (
+                tfs[j],
+                pos[j] if pos else None,
+                round(ws[j], 9) if ws else None,
+            )
+        out.append((tok["dl"][i].as_py(), d))
+    return out
+
+
+@pytest.mark.parametrize("cfg", [
+    IndexConfig(),
+    IndexConfig(min_token_length=None, use_stop_words=False, language=None),
+    IndexConfig(min_token_length=2, posting_type=PostingType.POSITIONAL,
+                ranker=RankerType.BM25_OPTIMIZED),
+    IndexConfig(ranker=RankerType.TF_IDF, smart_schema="lnc.ltc"),
+    IndexConfig(ranker=RankerType.TF_IDF, smart_schema="nnn.nnn",
+                use_stop_words=False),
+])
+def test_vector_equals_python(cfg):
+    stage = TokenizeStage(cfg)
+    batch = _tbl(ASCII_TEXTS)
+    vec = stage(batch)
+    dls, terms, tfs, pos, ws = stage._rows_python(ASCII_TEXTS)
+    py = pa.table({
+        "doc_id": batch["doc_id"], "url": batch["url"],
+        "dl": pa.array(dls, pa.int32()),
+        "terms": pa.array(terms, pa.list_(pa.string())),
+        "tfs": pa.array(tfs, pa.list_(pa.int32())),
+        "positions": pa.array(pos, pa.list_(pa.list_(pa.int32()))),
+        "tf_weights": pa.array(ws, pa.list_(pa.float64())),
+    })
+    assert _canon(vec) == _canon(py)
+
+
+def test_non_ascii_batch_takes_python_path():
+    stage = TokenizeStage(IndexConfig())
+    texts = ASCII_TEXTS + ["naïve café résumé — em-dash"]
+    out = stage(_tbl(texts))
+    # the unicode row tokenizes with full str.lower semantics
+    uni = out["terms"][len(texts) - 1].as_py()
+    assert "naïv" in uni or "naïve" in uni  # stemmed form of naïve
+    # ascii rows agree with the pure-python path
+    dls, *_ = stage._rows_python(texts)
+    assert out["dl"].to_pylist() == dls
