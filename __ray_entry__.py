@@ -358,6 +358,29 @@ def _q_multimodal_features(sf_dir: str):
     return extract_binary_features(ds, column="html")
 
 
+def _q_dup_clusters(sf_dir: str):
+    from searchengine_ray.pipelines.clusters import dup_clusters
+    from searchengine_ray.pipelines.dedup import minhash_candidates
+
+    return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
+
+
+def _q_ivf_ann_topk(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ivf_topk(ds, query_ids=[0, 1, 2], k=5, n_centroids=8, nprobe=4)
+    return pa.table({
+        "query_id": t["query_id"],
+        "vec_id": t["vec_id"],
+        "sim_q2": pa.array(
+            np.round(t["sim"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64), pa.int64()),
+    })
+
+
 def _q_lsh_candidates(sf_dir: str):
     import ray.data
 
@@ -392,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "lsh_candidates": _q_lsh_candidates,
+        "dup_clusters": _q_dup_clusters,
+        "ivf_ann_topk": _q_ivf_ann_topk,
     }
 
 

@@ -133,6 +133,22 @@ def run_bench() -> dict:
         statistics.median(per_query.values()) * 1000, 2
     )
 
+    # -- phase 2b: query THROUGHPUT via the serving actor pool ------------
+    from searchengine_ray.query.engine import search_dataset
+
+    qtbl = [
+        {"query_id": i, "query": SEARCH_QUERIES[i % len(SEARCH_QUERIES)]}
+        for i in range(256)
+    ]
+    t0 = time.perf_counter()
+    n_out = search_dataset(
+        ray.data.from_items(qtbl), idx_dir, n=10,
+        concurrency=max(2, NUM_CPUS // 4),
+    ).count()
+    qps_sec = time.perf_counter() - t0
+    detail["serving_queries_per_sec"] = round(len(qtbl) / qps_sec, 1)
+    detail["serving_rows"] = n_out
+
     # -- phase 3: pipelines over the sf tables ----------------------------
     import ray.data
 

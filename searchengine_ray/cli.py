@@ -109,6 +109,26 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Reference efficiency.py role: metrics over a qrels parquet
+    (query_id, doc_id, relevance) + a queries parquet (query_id, query)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.eval.metrics import evaluate
+    from searchengine_ray.query.engine import Searcher
+
+    s = Searcher(args.search_index)
+    queries = {
+        int(r["query_id"]): r["query"]
+        for r in pq.read_table(args.queries).to_pylist()
+    }
+    qrels = pq.read_table(args.qrels)
+    out = evaluate(s, queries, qrels, n=args.n)
+    out.pop("per_query", None)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -122,8 +142,17 @@ def main(argv=None) -> int:
     ps.add_argument("--k", type=float, default=None)
     ps.add_argument("--b", type=float, default=None)
     ps.add_argument("--wand", action="store_true")
+    pe = sub.add_parser("eval")
+    pe.add_argument("--search-index", required=True)
+    pe.add_argument("--queries", required=True)
+    pe.add_argument("--qrels", required=True)
+    pe.add_argument("--n", type=int, default=10)
     args = ap.parse_args(argv)
-    return cmd_index(args) if args.cmd == "index" else cmd_search(args)
+    if args.cmd == "index":
+        return cmd_index(args)
+    if args.cmd == "eval":
+        return cmd_eval(args)
+    return cmd_search(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,87 @@
+"""Duplicate-cluster resolution: near-dup PAIRS → connected components.
+
+Distributed min-label propagation (the standard Ray-Data-shaped
+connected-components loop): every node starts labeled with its own id;
+each round, labels flow across edges and every node keeps the MIN label
+seen (`groupby(node).min`), joined back via the hash-partitioned
+``Dataset.join``. Converges in O(diameter) rounds — near-dup clusters
+are tiny cliques, so a handful of rounds suffices; the loop stops early
+when a round changes nothing.
+
+Scale note: each round is one join + one groupby on (node) — both
+hash-partitioned; no driver-side state (the driver only sees the
+changed-row count).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _sym_edges(pairs_ds):
+    """(doc_a, doc_b) pairs → symmetric (src, dst) edge table."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"]
+        b = batch["doc_b"]
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    return pairs_ds.map_batches(sym, batch_format="pyarrow")
+
+
+def dup_clusters(pairs_ds, max_rounds: int = 8, num_partitions: int = 16):
+    """→ Dataset (doc_id, cluster) where cluster = min doc_id of the
+    connected component. Only docs that appear in some pair are listed
+    (singletons are their own cluster by definition)."""
+    from ray.data.aggregate import Min
+
+    edges = _sym_edges(pairs_ds).materialize()
+    # empty hash partitions produce schemaless blocks that break the
+    # pyarrow join — size the partition count to the data
+    num_partitions = max(2, min(num_partitions, edges.count() // 1000 + 2))
+    labels = (
+        edges.select_columns(["src"])
+        .groupby("src")
+        .aggregate(Min("src", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table({"doc_id": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # labels travel across edges: dst receives src's current label
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["dst"], "cand": b["label"]}),
+            batch_format="pyarrow",
+        )
+        best = (
+            msgs.union(labels.map_batches(
+                lambda b: pa.table({"doc_id": b["doc_id"], "cand": b["label"]}),
+                batch_format="pyarrow",
+            ))
+            .groupby("doc_id")
+            .aggregate(Min("cand", alias_name="new_label"))
+        ).materialize()
+        # convergence witness: labels only ever DECREASE under min-
+        # propagation, so the global label sum strictly drops iff any
+        # label changed (no join needed — empty-partition-safe)
+        old_sum = labels.sum("label")
+        new_sum = best.sum("new_label")
+        labels = best.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "label": b["new_label"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["label"]}),
+        batch_format="pyarrow",
+    )

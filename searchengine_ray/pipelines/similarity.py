@@ -122,6 +122,126 @@ def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 5):
     )
 
 
+# -- IVF variant (scale path #2) ------------------------------------------
+
+def _kmeans_deterministic(sample: np.ndarray, k: int, iters: int = 8):
+    """Seed-free Lloyd's: init = evenly-strided sample rows; ties break
+    to the lowest centroid index. Deterministic for a fixed input."""
+    k = min(k, len(sample))
+    centroids = sample[:: max(1, len(sample) // k)][:k].copy()
+    for _ in range(iters):
+        d = sample @ centroids.T  # cosine on normalized vectors
+        assign = d.argmax(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IvfTopKStage:
+    """Per-batch IVF probe: score only rows whose bucket is probed by
+    ≥1 query (bucket = nearest centroid). Broadcast state resolved once
+    per actor."""
+
+    def __init__(self, state_ref, k: int = 5):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, dict) else state_ref
+        self.qm = st["qm"]
+        self.query_ids = st["query_ids"]
+        self.centroids = st["centroids"]
+        self.probe = st["probe"]  # (Q, nprobe) centroid ids per query
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch))
+        buckets = (m @ self.centroids.T).argmax(axis=1)
+        qids, vids, svals = [], [], []
+        for qi in range(self.qm.shape[0]):
+            probed = np.isin(buckets, self.probe[qi]) & (
+                vec_ids != self.query_ids[qi]
+            )
+            idx = np.flatnonzero(probed)
+            if idx.size == 0:
+                continue
+            sims = m[idx] @ self.qm[qi]
+            sel = np.lexsort((vec_ids[idx], -sims))[: self.k]
+            top = idx[sel]
+            qids.extend([int(self.query_ids[qi])] * len(top))
+            vids.extend(vec_ids[top].tolist())
+            svals.extend(sims[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "vec_id": pa.array(vids, pa.int64()),
+            "sim": pa.array(svals, pa.float64()),
+        })
+
+
+def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             sample_cap: int = 2048):
+    """Approximate cosine top-k via IVF (inverted-file) probing:
+    deterministic k-means centroids from a strided sample, each batch
+    scores only vectors in the query's ``nprobe`` nearest cells.
+    → pyarrow Table (query_id, vec_id, sim, rank)."""
+    import pyarrow.compute as pcc
+    import ray
+
+    # deterministic sample + queries in one streamed pass each
+    qset = pa.array(sorted(query_ids), pa.int64())
+
+    def take_sample(batch: pa.Table) -> pa.Table:
+        step = max(1, batch.num_rows // 64)
+        return batch.take(pa.array(range(0, batch.num_rows, step), pa.int64()))
+
+    sample_rows = embeddings_ds.map_batches(
+        take_sample, batch_format="pyarrow"
+    ).limit(sample_cap).take_all()
+    sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
+                               dtype=np.float64))
+    centroids = _kmeans_deterministic(sm, n_centroids)
+
+    q_rows = embeddings_ds.map_batches(
+        lambda b: b.filter(pcc.is_in(b["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qm = _normalize(np.asarray([r["embedding"] for r in q_rows], np.float64))
+    qids = np.asarray([r["vec_id"] for r in q_rows], np.int64)
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+
+    ref = ray.put({"qm": qm, "query_ids": qids, "centroids": centroids,
+                   "probe": probe})
+    partials = embeddings_ds.map_batches(
+        IvfTopKStage,
+        fn_constructor_kwargs=dict(state_ref=ref, k=k),
+        batch_format="pyarrow", batch_size=4096, concurrency=2,
+    ).take_all()
+
+    best: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["sim"], r["vec_id"]))
+    qout, vout, sout, rout = [], [], [], []
+    for qid in sorted(best):
+        cand = sorted(best[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, vid) in enumerate(cand, 1):
+            qout.append(qid)
+            vout.append(vid)
+            sout.append(sim)
+            rout.append(rank)
+    return pa.table({
+        "query_id": pa.array(qout, pa.int64()),
+        "vec_id": pa.array(vout, pa.int64()),
+        "sim": pa.array(sout, pa.float64()),
+        "rank": pa.array(rout, pa.int32()),
+    })
+
+
 # -- LSH-bucketed variant (scale path) ------------------------------------
 
 _PLANES: np.ndarray | None = None

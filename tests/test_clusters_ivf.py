@@ -1,0 +1,64 @@
+"""Connected-component dup clusters + IVF approximate ANN."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dup_clusters(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.clusters import dup_clusters
+
+    # components: {1,2,3,9} (chain), {5,6}, {7,8}
+    pairs = pa.table({
+        "doc_a": pa.array([1, 2, 5, 7, 3], pa.int64()),
+        "doc_b": pa.array([2, 3, 6, 8, 9], pa.int64()),
+    })
+    out = dup_clusters(ray.data.from_arrow(pairs)).take_all()
+    got = {r["doc_id"]: r["cluster"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_dup_clusters_long_chain(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.clusters import dup_clusters
+
+    n = 12  # path graph 0-1-2-...-11: needs several propagation rounds
+    pairs = pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+    })
+    out = dup_clusters(ray.data.from_arrow(pairs), max_rounds=16).take_all()
+    assert {r["cluster"] for r in out} == {0}
+    assert len(out) == n
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import cosine_topk, ivf_topk
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(emb)
+    exact = cosine_topk(ds, query_ids=[0, 1, 2], k=5)
+    approx = ivf_topk(ds, query_ids=[0, 1, 2], k=5, n_centroids=8, nprobe=4)
+
+    def tops(t):
+        d = {}
+        for r in t.to_pylist():
+            d.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return d
+
+    te, ta = tops(exact), tops(approx)
+    recalls = [len(te[q] & ta.get(q, set())) / len(te[q]) for q in te]
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4 of 8 cells
+    # sims reported by IVF are exact cosine values for probed vectors
+    ex = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact.to_pylist()}
+    for r in approx.to_pylist():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            assert abs(ex[key] - r["sim"]) < 1e-12
