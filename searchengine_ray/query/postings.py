@@ -39,6 +39,7 @@ class PostingsRec:
     # avgdl so safe to store on the record)
     _tfs64: np.ndarray | None = field(default=None, repr=False)
     _dldiv: np.ndarray | None = field(default=None, repr=False)
+    _contrib: np.ndarray | None = field(default=None, repr=False)
 
     def tfs_f64(self) -> np.ndarray:
         if self._tfs64 is None:

@@ -44,6 +44,15 @@ def _fold_scores(doc_chunks, contrib_chunks):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     docs = np.concatenate(doc_chunks)
     contribs = np.concatenate(contrib_chunks)
+    max_doc = int(docs.max())
+    if max_doc <= 4 * docs.size + 1_000_000:
+        # dense ids: direct bincount accumulate (same per-bin add order —
+        # array order — as the sparse path; no O(M log M) sort)
+        sums_d = np.bincount(docs, weights=contribs, minlength=max_doc + 1)
+        seen = np.zeros(max_doc + 1, dtype=bool)
+        seen[docs] = True
+        uniq = np.flatnonzero(seen)
+        return uniq, sums_d[uniq]
     uniq, inv = np.unique(docs, return_inverse=True)
     sums = np.bincount(inv, weights=contribs, minlength=uniq.size)
     return uniq, sums
@@ -96,11 +105,16 @@ class BM25Scorer:
         self.dldiv = DlDivTable(stats["avgdl"])
 
     def term_contrib(self, rec):
+        if rec._contrib is not None:
+            return rec._contrib
         tf = rec.tfs_f64()
         if rec._dldiv is None:
             rec._dldiv = self.dldiv(rec.dls)
         k, b = self.k, self.b
-        return rec.idf * (tf * (k + 1)) / (tf + k * (1 - b + b * rec._dldiv))
+        rec._contrib = (
+            rec.idf * (tf * (k + 1)) / (tf + k * (1 - b + b * rec._dldiv))
+        )
+        return rec._contrib
 
     def score(self, query_tokens: list[str], recs: dict) -> tuple:
         doc_chunks, contrib_chunks = [], []

@@ -17,7 +17,12 @@ from types import SimpleNamespace
 def _install_stubs():
     if "psutil" not in sys.modules:
         psutil = types.ModuleType("psutil")
-        psutil.virtual_memory = lambda: SimpleNamespace(percent=0.0)
+        psutil.virtual_memory = lambda: SimpleNamespace(
+            percent=0.0, total=64 * 2**30, available=32 * 2**30
+        )
+        # ray's uv runtime-env hook imports psutil opportunistically; a
+        # partial stub must still satisfy Process().parents()
+        psutil.Process = lambda *a, **k: SimpleNamespace(parents=lambda: [])
         sys.modules["psutil"] = psutil
     if "nltk.stem.snowball" not in sys.modules:
         from searchengine_ray.text.stemmer import stem
