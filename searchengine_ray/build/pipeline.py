@@ -5,17 +5,19 @@ Stage graph (cf. reference lifecycle ``indexer.py:21-62``, SURVEY §3.1,
 re-expressed as Dataset pipelines):
 
 1. plan fragments (parquet footers only) → deterministic doc ids
-2. tokenize: ``map_batches(tokenize_fragment)`` tasks over fragment
-   descriptors; per-fragment atomic checkpoint + stats sidecar (the
-   resume unit — finished fragments are read back, not recomputed)
-3. corpus stats: Sum/Count/Min/Max over the ``dl`` column (replaces the
-   reference's O(N) doc_length_normalization JSON footer,
-   ``bm25.py:76-81``)
-4. docmap: (doc_id, url) sorted by doc_id → parquet (reference
-   ``indexer.py:40-53`` mapping file)
-5. shard boundaries + hot-term detection from a deterministic sample
-6. the term shuffle (merge.py) → shard parquet files
-7. manifest.json: config, corpus stats, shard map, lineage, metrics
+2. boundary pre-sample: a cluster-size-independent stride of fragments
+   → lexicographic shard boundaries + hot-term (salting) detection
+3. the FUSED build wave: one task per fragment — tokenize → atomic
+   checkpoint + stats sidecar → local aggregation → keyed spill (one
+   row group per gkey). The fragment is the resume unit (north rule;
+   the reference has none — ``spimi.py:273-275`` deletes its blocks).
+4. corpus stats (N, avgdl, min/max dl) folded from the sidecars — no
+   extra pass; replaces the reference's O(N) JSON footer
+   (``bm25.py:76-81``). docmap/docstats are views of the checkpoints.
+5. the reduce wave: one task per gkey-range reads its spill row groups
+   by index → encoded term shards (merge.py).
+6. manifest.json: config, corpus stats, boundaries, shard map,
+   lineage, per-stage metrics.
 """
 
 from __future__ import annotations
@@ -137,6 +139,17 @@ def build_index(
     tok_dir = os.path.join(out_dir, "tokenized")
     shard_dir = os.path.join(out_dir, "shards")
     metrics: dict = {}
+    # sweep partial .tmp files from a crashed run (publishes are atomic
+    # renames, so anything still named .tmp* is garbage)
+    for root in (tok_dir, shard_dir, os.path.join(out_dir, "spill"),
+                 os.path.join(out_dir, "tokenized_stats")):
+        if os.path.isdir(root):
+            for f in os.listdir(root):
+                if ".tmp" in f:
+                    try:
+                        os.remove(os.path.join(root, f))
+                    except OSError:
+                        pass
 
     # -- 1. plan -----------------------------------------------------------
     frags = plan_fragments(input_paths)

@@ -41,9 +41,8 @@ class IndexConfig:
     b: float = 0.75
     smart_schema: str = "lnc.ltc"    # TF-IDF SMART notation (tf_idf.py:17-24)
 
-    # layout / scale knobs (new — SPIMI block size analogue is batch_size)
+    # layout / scale knobs (the SPIMI flush unit is the input fragment)
     num_shards: int = 8              # lexicographic term shards
-    batch_size: int = 2000           # docs per postings batch (SPIMI flush unit)
     extract_concurrency: int | None = None   # None → let Ray size the pool
     hot_salts: int = 1                # >1 → salt head terms across this many sub-groups
     hot_frac: float = 0.01            # sample frequency above which a term is "hot"

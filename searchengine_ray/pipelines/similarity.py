@@ -192,16 +192,22 @@ def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
     import pyarrow.compute as pcc
     import ray
 
-    # deterministic sample + queries in one streamed pass each
+    # deterministic sample: select by id stride (independent of block
+    # arrival order, stable across runs and cluster sizes)
     qset = pa.array(sorted(query_ids), pa.int64())
+    n_total = embeddings_ds.count()
+    stride = max(1, n_total // sample_cap)
 
     def take_sample(batch: pa.Table) -> pa.Table:
-        step = max(1, batch.num_rows // 64)
-        return batch.take(pa.array(range(0, batch.num_rows, step), pa.int64()))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % stride == 0),
+                                   pa.int64()))
 
     sample_rows = embeddings_ds.map_batches(
         take_sample, batch_format="pyarrow"
-    ).limit(sample_cap).take_all()
+    ).take_all()
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    sample_rows = sample_rows[:sample_cap]
     sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
                                dtype=np.float64))
     centroids = _kmeans_deterministic(sm, n_centroids)

@@ -32,7 +32,9 @@ POSTINGS = pa.schema(
     ]
 )
 
-# Per-document rows from the extract stage (docmap ∪ docstats).
+# Per-document scalar columns of the tokenized checkpoint — these ARE
+# the docmap/docstats tables (served by fragment-pruned reads; no
+# separate stage writes them).
 DOCS = pa.schema(
     [
         ("doc_id", pa.int64()),

@@ -184,3 +184,38 @@ def test_build_resume(ray_session, tmp_path):
     assert os.path.exists(shard_files[0])  # rebuilt
     r2 = Searcher(idx).search("fast spark join", 5).to_pydict()
     assert r1 == r2
+
+
+def test_build_resume_after_messy_crash(ray_session, tmp_path):
+    """Crash simulation: stale .tmp litter + one missing fragment
+    checkpoint + missing manifest → rerun converges to the identical
+    index (per-fragment lineage; north rule)."""
+    import glob
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import materialize_pages
+
+    pages = materialize_pages(SF, str(tmp_path / "pages"), files=4)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_shards=3)
+    build_index(pages, idx, cfg)
+    r1 = Searcher(idx).search("fast spark join", 5).to_pydict()
+
+    # simulate an interrupted rerun: delete manifest + one checkpoint +
+    # one shard, scatter stale .tmp files around
+    os.remove(os.path.join(idx, "manifest.json"))
+    tok = sorted(glob.glob(os.path.join(idx, "tokenized", "*.parquet")))
+    os.remove(tok[1])
+    shard = sorted(glob.glob(os.path.join(idx, "shards", "*.parquet")))
+    os.remove(shard[-1])
+    for d in ("tokenized", "shards"):
+        with open(os.path.join(idx, d, "junk.parquet.tmp999"), "w") as f:
+            f.write("partial garbage")
+
+    m = build_index(pages, idx, cfg)
+    assert m["metrics"]["tokenize_fragments_resumed"] == 3  # 1 of 4 redone
+    r2 = Searcher(idx).search("fast spark join", 5).to_pydict()
+    assert r1 == r2
+    assert not glob.glob(os.path.join(idx, "**", "*.tmp*"), recursive=True)
