@@ -171,6 +171,39 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_tfidf_topk(sf_dir: str):
+    from searchengine_ray.config import RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    cfg = _simple_cfg()
+    cfg.ranker = RankerType.TF_IDF
+    idx = _index_for(sf_dir, cfg)
+    s = Searcher(idx)
+    doc_ids, scores = s.search_tokens(list(BM25_QUERY_TERMS), TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score_q4": pa.array(_q4(scores), pa.int64()),
+        }
+    )
+
+
+def _q_search_wand(sf_dir: str):
+    """BM25 via block-max WAND — bit-identical to exhaustive scoring
+    (asserted in tests); exposed for the driver as rows-only."""
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(sf_dir, _simple_cfg())
+    s = Searcher(idx, use_wand=True)
+    doc_ids, scores = s.search_tokens(list(BM25_QUERY_TERMS), TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score_q4": pa.array(_q4(scores), pa.int64()),
+        }
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from searchengine_ray.pipelines.dedup import exact_dedup
 
@@ -398,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "top_terms": _q_top_terms,
         "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "search_wand": _q_search_wand,
         "exact_dedup": _q_exact_dedup,
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
@@ -436,7 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "t -> length(t) >= 2)) AS term FROM documents"
     )
     qterms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
-    return {
+    out = {
         "doc_lengths": (
             f"WITH toks AS ({toks}) "
             "SELECT d.doc_id, count(t.term)::BIGINT AS dl "
@@ -477,6 +512,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4 "
             f"FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}"
         ),
+        "tfidf_topk": (
+            # lnc.ltc with the engine's at-rest quantization: stored doc
+            # weights are round(·,3) (reference tf_idf.py:115 at-rest
+            # representation); doc-side idf factor is 1 ('n')
+            f"WITH toks AS ({toks}), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf "
+            "       FROM toks GROUP BY 1, 2), "
+            "w AS (SELECT doc_id, term, 1 + ln(tf) AS wt FROM tf), "
+            "nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm "
+            "        FROM w GROUP BY 1), "
+            "wd AS (SELECT w.doc_id, w.term, round(w.wt / nrm.nrm, 3) AS w3 "
+            "       FROM w JOIN nrm ON w.doc_id = nrm.doc_id), "
+            "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            f"q(term) AS (VALUES {qterms}), "
+            "qidf AS (SELECT q.term, round(ln(s.n / df.df), 3) AS idf "
+            "         FROM q JOIN df USING (term) CROSS JOIN stats s), "
+            "qn AS (SELECT sqrt(sum(idf * idf)) AS qq FROM qidf), "
+            "scored AS (SELECT wd.doc_id, "
+            "           sum(wd.w3 * qidf.idf / qn.qq) AS score "
+            "           FROM wd JOIN qidf ON wd.term = qidf.term "
+            "           CROSS JOIN qn GROUP BY 1) "
+            "SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q4 "
+            f"FROM scored ORDER BY score DESC, doc_id ASC LIMIT {TOPK}"
+        ),
+        "search_wand": None,  # placeholder replaced below
         "exact_dedup": (
             "SELECT md5(text) AS fingerprint, min(doc_id)::BIGINT AS doc_id, "
             "count(*)::BIGINT AS n_dups FROM documents GROUP BY md5(text)"
@@ -529,3 +590,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn <= 5"
         ),
     }
+    # block-max WAND is score-preserving: its oracle IS the BM25 oracle
+    out["search_wand"] = out["bm25_topk"]
+    return out

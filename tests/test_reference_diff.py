@@ -92,6 +92,8 @@ QUERY = "games player shuffle partition streaming optimization"
         (RankerType.BM25, PostingType.FREQUENCY, "BM25", "frequency", "lnc.ltc", 120),
         (RankerType.TF_IDF, PostingType.FREQUENCY, "TF_IDF", "frequency", "lnc.ltc", 100_000),
         (RankerType.TF_IDF, PostingType.FREQUENCY, "TF_IDF", "frequency", "nnc.ntn", 100_000),
+        (RankerType.TF_IDF, PostingType.FREQUENCY, "TF_IDF", "frequency", "bnn.bpc", 100_000),
+        (RankerType.TF_IDF, PostingType.FREQUENCY, "TF_IDF", "frequency", "lnc.npn", 100_000),
         (RankerType.BM25_OPTIMIZED, PostingType.POSITIONAL, "BM25_OPTIMIZED",
          "positional", "lnc.ltc", 100_000),
         (RankerType.TF_IDF_OPTIMIZED, PostingType.POSITIONAL, "TF_IDF_OPTIMIZED",
@@ -135,8 +137,12 @@ def test_salted_hot_terms_same_results(ray_session, tmp_path, corpus):
 
     a = _ours(corpus, cfg_plain, query_tokens, 50, ray_session,
               tmp_path / "plain")
-    (tmp_path / "plain").mkdir(exist_ok=True)
-    (tmp_path / "salt").mkdir(exist_ok=True)
     b = _ours(corpus, cfg_salted, query_tokens, 50, ray_session,
               tmp_path / "salt")
     assert a == b
+    # the salted build must actually have exercised the salt path
+    from searchengine_ray.build.pipeline import load_manifest
+
+    man = load_manifest(str(tmp_path / "salt" / "idx"))
+    assert man["hot_salt_of"], "no hot terms detected"
+    assert any(s["salt"] > 0 for s in man["shards"]), "no salted shards"
