@@ -18,7 +18,34 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow.parquet as pq
 
-from searchengine_ray.state.codec import decode_positions, decode_postings
+from searchengine_ray.state.codec import (
+    decode_positions_ragged,
+    decode_postings,
+)
+
+
+class RaggedPositions:
+    """Lazy per-doc view over flat position arrays — indexing/iteration
+    yield Python lists (reference-shaped), while vectorized scorers use
+    the flat arrays directly."""
+
+    __slots__ = ("flat", "lengths", "starts")
+
+    def __init__(self, flat, lengths, starts):
+        self.flat = flat
+        self.lengths = lengths
+        self.starts = starts
+
+    def __len__(self):
+        return self.lengths.size
+
+    def __getitem__(self, i):
+        s = self.starts[i]
+        return self.flat[s:s + self.lengths[i]].tolist()
+
+    def __iter__(self):
+        for i in range(self.lengths.size):
+            yield self[i]
 
 
 @dataclass
@@ -53,6 +80,21 @@ class PostingsRec:
             self._pos_of = dict(zip(self.doc_ids.tolist(), self.positions))
         return self._pos_of.get(int(doc_id), [])
 
+    def positions_ragged(self):
+        """→ (flat_positions int64, lengths int64, starts int64) — the
+        ragged positions arrays for vectorized proximity scoring."""
+        if self.positions is None:
+            return None
+        if not isinstance(self.positions, RaggedPositions):
+            lengths = np.asarray([len(p) for p in self.positions], np.int64)
+            flat = (np.concatenate([np.asarray(p, np.int64)
+                                    for p in self.positions])
+                    if lengths.sum() else np.empty(0, np.int64))
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            self.positions = RaggedPositions(flat, lengths, starts)
+        p = self.positions
+        return p.flat, p.lengths, p.starts
+
 
 def _decode_row(row: dict) -> PostingsRec:
     doc_ids, tfs, dls = decode_postings(
@@ -63,7 +105,9 @@ def _decode_row(row: dict) -> PostingsRec:
         weights = np.asarray(row["weights"], dtype=np.float64)
     positions = None
     if row["positions_enc"]:
-        positions = decode_positions(row["positions_enc"], len(doc_ids))
+        positions = RaggedPositions(
+            *decode_positions_ragged(row["positions_enc"], len(doc_ids))
+        )
     return PostingsRec(
         term=row["term"], df=int(row["df"]), idf=float(row["idf"]),
         doc_ids=doc_ids, tfs=tfs, dls=dls, weights=weights, positions=positions,
@@ -85,8 +129,16 @@ def _merge_salted(recs: list[PostingsRec]) -> PostingsRec:
         weights = np.concatenate([r.weights for r in recs])[order]
     positions = None
     if recs[0].positions is not None:
-        flat = [p for r in recs for p in r.positions]
-        positions = [flat[i] for i in order]
+        rag = [r.positions_ragged() for r in recs]
+        flat_c = np.concatenate([f for f, _, _ in rag])
+        len_c = np.concatenate([ln for _, ln, _ in rag])
+        start_c = np.concatenate(([0], np.cumsum(len_c)[:-1]))
+        new_len = len_c[order]
+        total = int(new_len.sum())
+        new_start = np.concatenate(([0], np.cumsum(new_len)[:-1]))
+        gather = (np.repeat(start_c[order] - new_start, new_len)
+                  + np.arange(total))
+        positions = RaggedPositions(flat_c[gather], new_len, new_start)
     return PostingsRec(
         term=recs[0].term, df=recs[0].df, idf=recs[0].idf,
         doc_ids=doc_ids[order], tfs=tfs, dls=dls,

@@ -201,6 +201,80 @@ def positional_boost(query_tokens: list[str], doc_id: int, recs: dict) -> float:
     return math.log10(score) if score > 0 else 0
 
 
+def _pair_boost_scores(rec1, rec2, qd: int, docs_sorted: np.ndarray):
+    """Vectorized ``compute_distance`` over every common doc of one
+    ordered term pair. Float-op order matches the reference exactly:
+    per-pos1 max is order-independent (max), the per-doc sum over pos1
+    uses sequential ``bincount`` in position order, and log10 is libm's.
+    → per-doc scores aligned to ``docs_sorted`` (zeros elsewhere)."""
+    common, i1, i2 = np.intersect1d(
+        rec1.doc_ids, rec2.doc_ids, assume_unique=True, return_indices=True
+    )
+    if common.size == 0:
+        return None
+    f1, l1, s1 = rec1.positions_ragged()
+    f2, l2, s2 = rec2.positions_ragged()
+    len1, len2 = l1[i1], l2[i2]
+    st1, st2 = s1[i1], s2[i2]
+    tot1 = int(len1.sum())
+    if tot1 == 0:
+        return None
+    # flat p1 for common docs (doc-major, position order)
+    cum1 = np.concatenate(([0], np.cumsum(len1)[:-1]))
+    idx1 = np.repeat(st1 - cum1, len1) + np.arange(tot1)
+    p1c = f1[idx1]
+    # cross-product rows: each p1 element against its doc's p2 segment
+    rep = np.repeat(len2, len1)            # per-p1-element segment size
+    total = int(rep.sum())
+    seg_start = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    within = np.arange(total) - np.repeat(seg_start, rep)
+    p2x = f2[np.repeat(np.repeat(st2, len1), rep) + within]
+    p1x = np.repeat(p1c, rep)
+
+    pd = p2x - p1x
+    valid = np.abs(pd) <= BOOST_MAX_DISTANCE
+    dist = np.where(pd < 0, -1, 1) * (qd - pd)
+    aux = np.empty(total, np.float64)
+    m = dist >= 0
+    aux[m] = -np.log10(dist[m] + 1) + BOOST_C
+    aux[~m] = (np.log10(-dist[~m] + 1) + BOOST_C) * 0.8
+    aux[~valid] = -np.inf
+    segmax = np.maximum.reduceat(aux, seg_start) if total else aux
+    per_pos1 = np.maximum(segmax, 0.0)     # reference max_score floor
+    doc_of_p1 = np.repeat(np.arange(common.size), len1)
+    pair_common = np.bincount(doc_of_p1, weights=per_pos1,
+                              minlength=common.size)
+    out = np.zeros(docs_sorted.size, np.float64)
+    out[np.searchsorted(docs_sorted, common)] = pair_common
+    return out
+
+
+def positional_boost_all(query_tokens: list[str], docs_sorted: np.ndarray,
+                         recs: dict) -> np.ndarray:
+    """Vectorized ``calculate_boost`` for every scored doc at once —
+    pair iteration order, per-pair accumulation order and the
+    log10-compression match the reference loop (bm25_positional.py:52-71)."""
+    toks = list(query_tokens)
+    totals = np.zeros(docs_sorted.size, np.float64)
+    for a in range(len(toks)):
+        rec1 = recs.get(toks[a])
+        if rec1 is None or rec1.positions is None:
+            continue
+        for b in range(a + 1, len(toks)):
+            if toks[a] == toks[b]:
+                continue
+            rec2 = recs.get(toks[b])
+            if rec2 is None or rec2.positions is None:
+                continue
+            pair = _pair_boost_scores(rec1, rec2, b - a + 1, docs_sorted)
+            if pair is not None:
+                totals += pair             # one add per pair, pair order
+    boosts = np.zeros(docs_sorted.size, np.float64)
+    mask = totals > 0
+    boosts[mask] = np.log10(totals[mask])
+    return boosts
+
+
 class BM25PositionalScorer(BM25Scorer):
     """BM25 over positional postings (freq = #positions) + proximity
     boost normalized by document length — reference
@@ -218,24 +292,24 @@ class BM25PositionalScorer(BM25Scorer):
         docs, scores = super().score(query_tokens, recs)
         if docs.size == 0:
             return docs, scores
-        # per-doc dldiv for the normalization (values are the rounded ones)
-        dldiv_of: dict[int, float] = {}
+        # per-doc dldiv (rounded values; any matching rec gives the same)
+        dldiv_arr = np.full(docs.size, np.nan)
         for rec in recs.values():
             if rec is None:
                 continue
             if rec._dldiv is None:
                 rec._dldiv = self.dldiv(rec.dls)
-            dldiv = rec._dldiv
-            for d, v in zip(rec.doc_ids.tolist(), dldiv.tolist()):
-                dldiv_of.setdefault(d, v)
+            pos = np.searchsorted(docs, rec.doc_ids)
+            need = np.isnan(dldiv_arr[pos])
+            dldiv_arr[pos[need]] = rec._dldiv[need]
+        boosts = positional_boost_all(query_tokens, docs, recs)
         span = self.max_dldiv - self.min_dldiv
         out = scores.copy()
-        for idx, d in enumerate(docs.tolist()):
-            boost = positional_boost(query_tokens, d, recs)
-            if boost > 0 and span > 0:
-                norm = math.log2((dldiv_of[d] - self.min_dldiv) / span + 1)
-                if norm > 0:
-                    out[idx] = scores[idx] + BM25_BOOST_WEIGHT * boost / norm
+        if span > 0:
+            norm = np.log2((dldiv_arr - self.min_dldiv) / span + 1)
+            apply = (boosts > 0) & (norm > 0)
+            out[apply] = scores[apply] + BM25_BOOST_WEIGHT * boosts[apply] \
+                / norm[apply]
         return docs, out
 
 
@@ -245,11 +319,12 @@ class TfIdfPositionalScorer(TfIdfScorer):
 
     def score(self, query_tokens: list[str], recs: dict) -> tuple:
         docs, scores = super().score(query_tokens, recs)
+        if docs.size == 0:
+            return docs, scores
+        boosts = positional_boost_all(query_tokens, docs, recs)
         out = scores.copy()
-        for idx, d in enumerate(docs.tolist()):
-            boost = positional_boost(query_tokens, int(d), recs)
-            if boost > 0:
-                out[idx] = scores[idx] + TFIDF_BOOST_WEIGHT * boost
+        apply = boosts > 0
+        out[apply] = scores[apply] + TFIDF_BOOST_WEIGHT * boosts[apply]
         return docs, out
 
 

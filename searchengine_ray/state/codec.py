@@ -137,3 +137,28 @@ def decode_positions(buf: bytes, n_docs: int) -> list:
         out.append(np.cumsum(flat[i:i + n]).tolist())
         i += n
     return out
+
+
+def decode_positions_ragged(buf: bytes, n_docs: int):
+    """→ (flat_abs_positions int64, lengths int64, starts int64) without
+    building per-doc Python lists (the query hot path for positional
+    scoring; ~10^5 docs per posting list)."""
+    vals = vb_decode(buf)
+    if n_docs == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    lengths = np.empty(n_docs, np.int64)
+    idx = 0
+    for d in range(n_docs):  # n_docs iterations — count slots only
+        lengths[d] = vals[idx]
+        idx += 1 + int(vals[idx])
+    count_slots = np.concatenate(([0], np.cumsum(lengths + 1)[:-1]))
+    mask = np.ones(vals.size, bool)
+    mask[count_slots] = False
+    gaps = vals[mask]
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    # segmented cumsum = global cumsum minus the prefix before each segment
+    cs = np.cumsum(gaps)
+    prefix = np.concatenate(([0], cs))
+    flat = cs - np.repeat(prefix[starts], lengths)
+    return flat.astype(np.int64), lengths, starts

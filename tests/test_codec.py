@@ -74,3 +74,20 @@ def test_positions_roundtrip():
 def test_positions_roundtrip_property(pos):
     pos = [sorted(p) for p in pos]
     assert decode_positions(encode_positions(pos), len(pos)) == pos
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), max_size=20),
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_ragged_equals_lists(pos):
+    from searchengine_ray.state.codec import decode_positions_ragged
+
+    pos = [sorted(p) for p in pos]
+    buf = encode_positions(pos)
+    flat, lengths, starts = decode_positions_ragged(buf, len(pos))
+    rebuilt = [flat[s:s + n].tolist() for s, n in zip(starts, lengths)]
+    assert rebuilt == pos
