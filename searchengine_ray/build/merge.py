@@ -35,7 +35,11 @@ import pyarrow.parquet as pq
 
 from searchengine_ray.config import IndexConfig, RankerType
 from searchengine_ray.functions.smart import bm25_idf, calculate_idf
-from searchengine_ray.state.codec import encode_positions, encode_postings
+from searchengine_ray.state.codec import (
+    BLOCK,
+    encode_positions,
+    vb_encode_segmented,
+)
 
 MAX_SALTS = 64  # gkey = shard * MAX_SALTS + salt
 
@@ -435,69 +439,111 @@ class ShardWriter:
         has_w = "weights" in tbl.column_names
         has_p = "positions" in tbl.column_names
 
-        doc_col = tbl["doc_ids"]
-        tf_col = tbl["tfs"]
-        dl_col = tbl["dls"]
-        w_col = tbl["weights"] if has_w else None
+        # flatten each list column ONCE; per-term data is then a numpy
+        # slice by row-range offsets (per-term pyarrow calls are ~ms each
+        # — ruinous at real vocabulary sizes)
+        row_lens = np.asarray(
+            pc.list_value_length(tbl["doc_ids"]).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        row_off = np.concatenate(([0], np.cumsum(row_lens)))
+        flat_docs = np.asarray(pc.list_flatten(tbl["doc_ids"]), dtype=np.int64)
+        flat_tfs = np.asarray(pc.list_flatten(tbl["tfs"]), dtype=np.int64)
+        flat_dls = np.asarray(pc.list_flatten(tbl["dls"]), dtype=np.int64)
+        flat_w = (np.asarray(pc.list_flatten(tbl["weights"]), dtype=np.float64)
+                  if has_w else None)
         p_col = tbl["positions"] if has_p else None
 
-        rec = {k: [] for k in (
-            "term", "salt", "df", "idf", "n", "docs_enc", "tfs_enc",
-            "dls_enc", "weights", "positions_enc", "skip_docs", "block_max_tf",
-        )}
-        n_postings = 0
-        for t, s, e in zip(uniq, starts, ends):
-            d = np.asarray(
-                pc.list_flatten(doc_col.slice(s, e - s)), dtype=np.int64
-            )
-            f = np.asarray(
-                pc.list_flatten(tf_col.slice(s, e - s)), dtype=np.int64
-            )
-            dl = np.asarray(
-                pc.list_flatten(dl_col.slice(s, e - s)), dtype=np.int64
-            )
-            if d.size > 1 and not (d[1:] > d[:-1]).all():
-                # block doc ranges should be disjoint; fall back to an
-                # explicit stable sort if an input violates that
-                order = np.argsort(d, kind="stable")
-                d, f, dl = d[order], f[order], dl[order]
-            else:
-                order = None
-            docs_enc, tfs_enc, dls_enc, skip_docs, block_max = encode_postings(
-                d, f, dl
-            )
-            df_total = self.hot_df.get(str(t), d.size)
-            rec["term"].append(str(t))
-            rec["salt"].append(salt)
-            rec["df"].append(int(df_total))
-            rec["idf"].append(self._idf(int(df_total)))
-            rec["n"].append(int(d.size))
-            rec["docs_enc"].append(docs_enc)
-            rec["tfs_enc"].append(tfs_enc)
-            rec["dls_enc"].append(dls_enc)
+        # segment boundaries of each term in the flat posting arrays
+        seg_off = np.concatenate((row_off[starts], [row_off[ends[-1]]]))
+        seg_starts = seg_off[:-1].astype(np.int64)
+        seg_sizes = np.diff(seg_off).astype(np.int64)
+        n_terms = uniq.size
+
+        # sortedness: block doc-ranges are disjoint so concatenation is
+        # already ascending; repair out-of-order segments explicitly
+        is_start = np.zeros(flat_docs.size, dtype=bool)
+        is_start[seg_starts] = True
+        bad = np.zeros(flat_docs.size, dtype=bool)
+        if flat_docs.size > 1:
+            bad[1:] = (flat_docs[1:] <= flat_docs[:-1]) & ~is_start[1:]
+        bad_terms = np.unique(
+            np.searchsorted(seg_starts, np.flatnonzero(bad), side="right") - 1
+        )
+        seg_order: dict[int, np.ndarray] = {}
+        for k in bad_terms:
+            fs, fe = int(seg_off[k]), int(seg_off[k + 1])
+            o = np.argsort(flat_docs[fs:fe], kind="stable")
+            seg_order[int(k)] = o
+            flat_docs[fs:fe] = flat_docs[fs:fe][o]
+            flat_tfs[fs:fe] = flat_tfs[fs:fe][o]
+            flat_dls[fs:fe] = flat_dls[fs:fe][o]
             if has_w:
-                w = np.asarray(
-                    pc.list_flatten(w_col.slice(s, e - s)), dtype=np.float64
-                )
-                if order is not None:
-                    w = w[order]
-                rec["weights"].append([round(float(x), 3) for x in w])
+                flat_w[fs:fe] = flat_w[fs:fe][o]
+
+        # segmented delta-gap + ONE varbyte encode per column per group
+        delta = flat_docs.copy()
+        if delta.size > 1:
+            delta[1:] -= flat_docs[:-1]
+        delta[seg_starts] = flat_docs[seg_starts]
+        docs_enc_l = vb_encode_segmented(delta, seg_off)
+        tfs_enc_l = vb_encode_segmented(flat_tfs, seg_off)
+        dls_enc_l = vb_encode_segmented(flat_dls, seg_off)
+
+        # skip pointers + block-max tf (vectorized single-block fast path)
+        single = seg_sizes <= BLOCK
+        first_docs_seg = flat_docs[seg_starts] if flat_docs.size else seg_starts
+        bm_single = (np.maximum.reduceat(flat_tfs, seg_starts)
+                     if flat_docs.size else np.empty(0, np.int64))
+        skip_l = [None] * n_terms
+        bm_l = [None] * n_terms
+        for k in range(n_terms):
+            if single[k]:
+                skip_l[k] = [int(first_docs_seg[k])]
+                bm_l[k] = [int(bm_single[k])]
             else:
-                rec["weights"].append([])
-            if has_p:
-                pos = [
-                    pl
-                    for row in p_col.slice(s, e - s).to_pylist()
-                    for pl in row
-                ]
-                if order is not None:
-                    pos = [pos[i] for i in order]
+                fs, fe = int(seg_off[k]), int(seg_off[k + 1])
+                d = flat_docs[fs:fe]
+                f = flat_tfs[fs:fe]
+                skip_l[k] = d[::BLOCK].tolist()
+                nb = (d.size + BLOCK - 1) // BLOCK
+                bm_l[k] = [int(f[i * BLOCK:(i + 1) * BLOCK].max())
+                           for i in range(nb)]
+
+        terms_str = [str(t) for t in uniq]
+        dfs = [int(self.hot_df.get(t, int(sz)))
+               for t, sz in zip(terms_str, seg_sizes)]
+        rec = {
+            "term": terms_str,
+            "salt": [salt] * n_terms,
+            "df": dfs,
+            "idf": [self._idf(df) for df in dfs],
+            "n": [int(x) for x in seg_sizes],
+            "docs_enc": docs_enc_l,
+            "tfs_enc": tfs_enc_l,
+            "dls_enc": dls_enc_l,
+            "skip_docs": skip_l,
+            "block_max_tf": bm_l,
+            "weights": [],
+            "positions_enc": [],
+        }
+        if has_w:
+            w3 = [round(float(x), 3) for x in flat_w]
+            rec["weights"] = [w3[int(seg_off[k]):int(seg_off[k + 1])]
+                              for k in range(n_terms)]
+        else:
+            rec["weights"] = [[]] * n_terms
+        if has_p:
+            for k in range(n_terms):
+                s0, e0 = int(starts[k]), int(ends[k])
+                pos = [pl for row in p_col.slice(s0, e0 - s0).to_pylist()
+                       for pl in row]
+                if k in seg_order:
+                    pos = [pos[i] for i in seg_order[k]]
                 rec["positions_enc"].append(encode_positions(pos))
-            else:
-                rec["positions_enc"].append(b"")
-            rec["skip_docs"].append(skip_docs)
-            rec["block_max_tf"].append(block_max)
-            n_postings += int(d.size)
+        else:
+            rec["positions_enc"] = [b""] * n_terms
+        n_postings = int(flat_docs.size)
 
         out = pa.table(
             {

@@ -28,6 +28,46 @@ import numpy as np
 BLOCK = 128  # postings per skip/block-max block
 
 
+def vb_encode_raw(values: np.ndarray):
+    """Varbyte-encode → (bytes, per-value byte-END offsets). The ends
+    array lets callers slice the encoding per segment — one encode call
+    for a whole shard group instead of one per posting list."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(7)
+    nbits[nbits == 0] = 1
+    ends = np.cumsum(nbits)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbits
+    maxlen = int(nbits.max())
+    rem = v.copy()
+    for k in range(maxlen):
+        mask = nbits > k
+        idx = starts[mask] + k
+        out[idx] = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+    out[ends - 1] |= 0x80
+    return out.tobytes(), ends
+
+
+def vb_encode_segmented(values: np.ndarray, seg_offsets: np.ndarray):
+    """Encode once, slice per segment. ``seg_offsets`` = value-index
+    boundaries (len = n_segments + 1). → list[bytes]."""
+    buf, ends = vb_encode_raw(values)
+    byte_bounds = np.concatenate(([0], ends))[seg_offsets]
+    mv = memoryview(buf)
+    return [bytes(mv[a:b]) for a, b in zip(byte_bounds[:-1], byte_bounds[1:])]
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Varbyte-encode a non-negative int array (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
