@@ -373,9 +373,11 @@ def _q_simhash_pairs(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     from searchengine_ray.pipelines.analysis import LangIdStage
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
     return _docs_ds(sf_dir).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2, num_cpus=1
+        LangIdStage, batch_format="pyarrow",
+        concurrency=autoscale_concurrency(), num_cpus=1,
     )
 
 

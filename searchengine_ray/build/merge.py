@@ -248,31 +248,6 @@ def boundaries_from_sample(
     return boundaries, hot
 
 
-def exact_hot_df(tok_ds, hot_terms: list[str]) -> dict[str, int]:
-    """Exact global df for the (few) salted terms: per-batch partial
-    counts (combiner) → tiny fold on the driver."""
-    if not hot_terms:
-        return {}
-    hot_arr = pa.array(hot_terms)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(batch["terms"])  # distinct within doc
-        sel = flat.filter(pc.is_in(flat, value_set=hot_arr))
-        vc = pc.value_counts(sel)
-        if len(vc) == 0:
-            return pa.table(
-                {"term": pa.array([], pa.string()),
-                 "df": pa.array([], pa.int64())}
-            )
-        return pa.table({"term": vc.field("values"), "df": vc.field("counts")})
-
-    rows = tok_ds.map_batches(partial, batch_format="pyarrow").take_all()
-    out: dict[str, int] = {}
-    for r in rows:
-        out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
-    return out
-
-
 class SpillWriter:
     """Phase A of the explicit two-phase exchange: one tokenized block →
     one spill parquet, rows locally aggregated per (term, salt), sorted

@@ -115,6 +115,42 @@ def _presample_boundaries(
     )
 
 
+BUILD_CONFIG_NAME = "build_config.json"
+
+
+def _guard_resume_config(out_dir: str, cfg: IndexConfig,
+                         id_column, text_column, url_column) -> None:
+    """Write the build config next to the artifacts on first run; on a
+    resume, refuse to proceed if it differs (checkpoints/shards carry no
+    config in their names, so a mismatched resume would mix data from
+    two configs — e.g. a tf_idf manifest over weightless BM25 shards)."""
+    current = {
+        "config": cfg.to_manifest(),
+        "id_column": id_column,
+        "text_column": text_column,
+        "url_column": url_column,
+    }
+    path = os.path.join(out_dir, BUILD_CONFIG_NAME)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != current:
+            changed = sorted(
+                k for k in set(existing) | set(current)
+                if existing.get(k) != current.get(k)
+            )
+            raise ValueError(
+                f"out_dir {out_dir!r} holds artifacts built with a "
+                f"different config (differs in {changed}); pass "
+                "overwrite=True or use a fresh out_dir"
+            )
+        return
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(current, f, indent=1)
+    os.replace(tmp, path)
+
+
 def build_index(
     input_paths: list[str] | str,
     out_dir: str,
@@ -136,6 +172,11 @@ def build_index(
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # Resume artifacts (tokenized checkpoints, spill, shard files) are
+    # keyed by doc extent, NOT by config — resuming into an out_dir built
+    # with a DIFFERENT config would silently reuse stale data under a
+    # manifest claiming the new config. Refuse loudly instead.
+    _guard_resume_config(out_dir, cfg, id_column, text_column, url_column)
     tok_dir = os.path.join(out_dir, "tokenized")
     shard_dir = os.path.join(out_dir, "shards")
     metrics: dict = {}

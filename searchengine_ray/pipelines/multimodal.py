@@ -63,15 +63,18 @@ class BinaryFeatureStage:
         return pa.table(cols)
 
 
-def extract_binary_features(ds, column: str = "html", concurrency: int = 2,
+def extract_binary_features(ds, column: str = "html", concurrency=None,
                             batch_size: int = 256):
     """Dataset with a binary column → Dataset with (payload_bytes, magic,
-    features) and the payload dropped (project-early for downstream)."""
+    features) and the payload dropped (project-early for downstream).
+    ``concurrency=None`` → autoscaling actor pool sized to the node."""
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
     return ds.map_batches(
         BinaryFeatureStage,
         fn_constructor_kwargs=dict(column=column),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_concurrency(),
         num_cpus=1,
     )

@@ -21,6 +21,18 @@ _N_PLANES = 12
 _N_TABLES = 4
 
 
+def autoscale_concurrency(cap: int | None = None) -> tuple[int, int]:
+    """Actor-pool size range (1, #CPUs) — lets Ray grow the pool to the
+    node instead of starving a 32-CPU box with a hardcoded constant,
+    while small inputs stay at one actor (no spawn storm)."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if cap is not None:
+        n = min(n, cap)
+    return (1, max(1, n))
+
+
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -97,7 +109,7 @@ def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 5):
         fn_constructor_kwargs=dict(queries_ref=ref, k=k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=autoscale_concurrency(),
     ).take_all()
 
     # fold tiny partials per query
@@ -226,7 +238,8 @@ def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
     partials = embeddings_ds.map_batches(
         IvfTopKStage,
         fn_constructor_kwargs=dict(state_ref=ref, k=k),
-        batch_format="pyarrow", batch_size=4096, concurrency=2,
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=autoscale_concurrency(),
     ).take_all()
 
     best: dict[int, list[tuple[float, int]]] = {}

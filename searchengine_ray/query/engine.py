@@ -21,6 +21,44 @@ from searchengine_ray.query.postings import ShardReader
 from searchengine_ray.query.scorers import make_scorer, top_k
 
 
+def _validate_override(built: IndexConfig, cfg: IndexConfig) -> None:
+    """Reject query-time ranker overrides the stored index can't serve —
+    the reference raises 'not compatible' in ``load_metadata``
+    (searcher.py:14-38). Two hard constraints:
+
+    - idf family: BM25-family indexes store ``round(ln(N/df),3)``; the
+      TF-IDF family stores ``calculate_idf(schema[5])`` and per-posting
+      weights (absent otherwise). Cross-family overrides either crash
+      (weights is None) or silently mis-score.
+    - positional boosts need positional postings.
+    """
+    from searchengine_ray.config import PostingType
+
+    _BM25 = {RankerType.BM25, RankerType.BM25_OPTIMIZED}
+    _TFIDF = {RankerType.TF_IDF, RankerType.TF_IDF_OPTIMIZED}
+    r = cfg.ranker
+    if r != built.ranker and r != RankerType.RAW:
+        if (r in _BM25) != (built.ranker in _BM25) or (
+            r in _TFIDF) != (built.ranker in _TFIDF):
+            raise ValueError(
+                f"ranker {r.value!r} is not compatible with an index built "
+                f"with {built.ranker.value!r} (stored idf/weights belong to "
+                "the build-time ranker family; rebuild or drop the override)"
+            )
+    if r in (RankerType.BM25_OPTIMIZED, RankerType.TF_IDF_OPTIMIZED) and \
+            built.posting_type != PostingType.POSITIONAL:
+        raise ValueError(
+            f"ranker {r.value!r} needs positional postings; index was built "
+            f"with posting_type={built.posting_type.value!r}"
+        )
+    if r in _TFIDF and cfg.smart_schema[5] != built.smart_schema[5]:
+        raise ValueError(
+            f"smart schema idf {cfg.smart_schema!r} is not compatible with "
+            f"the stored idf (built with {built.smart_schema!r}); the query "
+            "idf factor is baked into the shard files at build time"
+        )
+
+
 class Searcher:
     def __init__(
         self,
@@ -35,6 +73,7 @@ class Searcher:
     ):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
+        built = IndexConfig.from_manifest(self.manifest["config"])
         cfg = IndexConfig.from_manifest(self.manifest["config"])
         # query-time overrides (reference CLI --ranker/--k/--b, searcher.py:14-38)
         if ranker is not None:
@@ -45,7 +84,14 @@ class Searcher:
             cfg.b = b
         if smart_schema is not None:
             cfg.smart_schema = smart_schema
+        _validate_override(built, cfg)
         self.cfg = cfg
+        # WAND's upper bounds (idf·(k+1); block bound with denominator
+        # bm + k·(1−b)) are only valid for 0 ≤ b ≤ 1 and k ≥ 0 — outside
+        # that range fall back to the exhaustive scorer so the
+        # "bit-identical to full TAAT" contract still holds.
+        if use_wand and not (0.0 <= cfg.b <= 1.0 and cfg.k >= 0.0):
+            use_wand = False
         self.use_wand = use_wand
         self.wand_stats: dict = {}
         self.stats = self.manifest["corpus"]
@@ -117,10 +163,12 @@ class Searcher:
         for d in wanted:
             if d in url_of:
                 continue
+            # collect EVERY file whose [min,max] range contains the id:
+            # with a custom id_column the corpus need not be id-sorted,
+            # so fragment ranges can overlap (no early break)
             for lo, hi, f in self._docmap_files:
                 if lo <= d <= hi:
                     by_file.setdefault(f, []).append(d)
-                    break
         for f, ds in by_file.items():
             # one columnar read caches the whole fragment's mapping (a
             # fragment is ~10^5 rows — bounded; hot fragments amortize)

@@ -65,6 +65,14 @@ def load_stop_words(path: str | Path | None) -> frozenset[str] | None:
         return frozenset(f.read().split("\n"))
 
 
+# Languages with an implemented Snowball stemmer. The reference accepts
+# any language name and delegates to ``SnowballStemmer(language)``
+# (reference ``tokenizer.py:24-33,59-70``); only the English (Porter2)
+# algorithm is implemented here, so any other language FAILS LOUDLY
+# instead of silently stemming with the wrong algorithm.
+SUPPORTED_LANGUAGES = frozenset({"english"})
+
+
 class Tokenizer:
     """Stateful tokenizer: holds the stop-word set and the stemmer memo
     cache. Build stages instantiate one per actor/worker (``__init__``
@@ -76,6 +84,13 @@ class Tokenizer:
         stop_words: frozenset[str] | None = None,
         language: str | None = "english",
     ) -> None:
+        if language is not None and language not in SUPPORTED_LANGUAGES:
+            raise ValueError(
+                f"unsupported stemmer language {language!r}; implemented: "
+                f"{sorted(SUPPORTED_LANGUAGES)} (the reference delegates to "
+                "nltk SnowballStemmer — add a stemmer to text/stemmer.py to "
+                "extend)"
+            )
         self.min_token_length = min_token_length
         self.stop_words = stop_words
         self.language = language
@@ -107,4 +122,5 @@ class Tokenizer:
             "min_token_length": self.min_token_length,
             "n_stop_words": len(self.stop_words) if self.stop_words else 0,
             "language": self.language,
+            "supported_languages": sorted(SUPPORTED_LANGUAGES),
         }

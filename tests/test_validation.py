@@ -1,0 +1,82 @@
+"""Guard rails added after round 1 (VERDICT wrong #1, ADVICE items):
+unsupported stemmer languages fail loudly, query-time ranker overrides
+are validated against the stored index, resuming into an out_dir with a
+different config refuses, and WAND falls back to exhaustive scoring
+outside its bound-validity range (0 <= b <= 1, k >= 0).
+"""
+
+import numpy as np
+import pytest
+
+from searchengine_ray.config import IndexConfig, PostingType, RankerType
+from searchengine_ray.text.tokenizer import Tokenizer
+
+
+def test_unsupported_language_raises():
+    with pytest.raises(ValueError, match="unsupported stemmer language"):
+        Tokenizer(language="french")
+    with pytest.raises(ValueError, match="unsupported stemmer language"):
+        Tokenizer(language="porter")
+    Tokenizer(language="english")  # ok
+    Tokenizer(language=None)       # ok (no stemming)
+
+
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.sources.pages import unit_pages
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("validation")
+    src = str(d / "pages.parquet")
+    pq.write_table(unit_pages(), src)
+    idx = str(d / "idx")
+    build_index(src, idx, IndexConfig(num_shards=2))
+    return src, idx
+
+
+def test_ranker_override_family_mismatch(small_index):
+    from searchengine_ray.query.engine import Searcher
+
+    _, idx = small_index
+    with pytest.raises(ValueError, match="not compatible"):
+        Searcher(idx, ranker=RankerType.TF_IDF)
+    with pytest.raises(ValueError, match="positional postings"):
+        Searcher(idx, ranker=RankerType.BM25_OPTIMIZED)
+    Searcher(idx, ranker=RankerType.RAW)  # raw accepts any index
+    Searcher(idx)                         # no override
+
+
+def test_resume_config_mismatch_raises(small_index):
+    from searchengine_ray.build.pipeline import build_index
+
+    src, idx = small_index
+    # same config resumes fine (everything skipped)
+    build_index(src, idx, IndexConfig(num_shards=2))
+    with pytest.raises(ValueError, match="different config"):
+        build_index(src, idx, IndexConfig(num_shards=2,
+                                          ranker=RankerType.TF_IDF))
+    # overwrite=True rebuilds from scratch
+    build_index(src, idx, IndexConfig(num_shards=2), overwrite=True)
+
+
+def test_wand_out_of_range_b_falls_back(small_index):
+    from searchengine_ray.query.engine import Searcher
+
+    _, idx = small_index
+    exhaustive = Searcher(idx, b=1.5)
+    wand = Searcher(idx, b=1.5, use_wand=True)
+    assert wand.use_wand is False  # bounds invalid for b > 1 → fallback
+    d1, s1 = exhaustive.search_tokens(["game", "player"], 5)
+    d2, s2 = wand.search_tokens(["game", "player"], 5)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_manifest_records_supported_languages(small_index):
+    from searchengine_ray.build.pipeline import load_manifest
+
+    _, idx = small_index
+    m = load_manifest(idx)
+    assert m["tokenizer"]["supported_languages"] == ["english"]
