@@ -7,12 +7,19 @@ All stages are ``map_batches`` transforms plus ONE keyed shuffle each
 - MinHash+LSH near-dup: shingle → 64 minhashes → band buckets →
   ``groupby(band, bucket)`` → candidate pairs → exact-Jaccard verify
 - SimHash near-dup: 64-bit simhash → 4×16-bit band buckets → pairs with
-  Hamming distance ≤ k
+  Hamming distance ≤ k (pigeonhole: ≤3 differing bits over 4 bands
+  always share a band, so band blocking loses nothing)
 
 Hash families are fixed constants (derived once from a seeded
 RandomState) so every run and every cluster size produces identical
-output. Per-batch work is numpy-vectorized over all shingles of the
-batch at once.
+output, and every step is reproducible in DuckDB SQL with HUGEINT
+modular arithmetic (see __ray_entry__.oracle_sql: minhash_pairs /
+simhash_pairs).
+
+The hot path is FULLY segmented numpy over the Arrow buffers: token
+hashing reads the utf-8 data buffer zero-copy, shingles/signatures/
+bands are computed for the whole batch at once (``np.minimum.reduceat``
+over doc segments) — no per-doc or per-token Python.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
 _BANDS = 16          # r = 4 rows/band → ~Jaccard 0.5+ candidates
 _ROWS = _NUM_PERM // _BANDS
+_SHINGLE_K = 3
 
 _rs = np.random.RandomState(42)  # fixed → constants, not per-run randomness
 _A = _rs.randint(1, (1 << 61) - 1, size=_NUM_PERM).astype(np.uint64)
@@ -34,105 +42,201 @@ _B = _rs.randint(0, (1 << 61) - 1, size=_NUM_PERM).astype(np.uint64)
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+_SHINGLE_MULT = np.uint64(1099511628211)  # = FNV prime; k-gram combiner
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _hash_tokens(flat_terms: pa.Array) -> np.ndarray:
-    """FNV-1a over token bytes → uint64 (vectorized over a padded byte
-    matrix; loop bound = max token length, not token count)."""
-    arr = flat_terms.to_pylist()
-    if not arr:
+def _hash_tokens(flat_terms) -> np.ndarray:
+    """FNV-1a over each token's utf-8 bytes → uint64, vectorized: the
+    Arrow string buffers are read zero-copy into a padded byte matrix
+    via fancy indexing; the only loop is over max token LENGTH."""
+    if isinstance(flat_terms, pa.ChunkedArray):
+        flat_terms = flat_terms.combine_chunks()
+    n = len(flat_terms)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    bs = [t.encode("utf-8") for t in arr]
-    maxlen = max(len(b) for b in bs)
-    mat = np.zeros((len(bs), maxlen), dtype=np.uint8)
-    lens = np.empty(len(bs), dtype=np.int64)
-    for i, b in enumerate(bs):
-        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        lens[i] = len(b)
-    h = np.full(len(bs), _FNV_OFFSET, dtype=np.uint64)
+    bufs = flat_terms.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(flat_terms.type) \
+        else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        flat_terms.offset: flat_terms.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = ends - starts
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    idx = starts[:, None] + np.arange(maxlen)[None, :]
+    np.clip(idx, 0, len(data) - 1, out=idx)   # padded tail (masked below)
+    mat = data[idx]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     for k in range(maxlen):
         active = lens > k
         h[active] = (h[active] ^ mat[active, k].astype(np.uint64)) * _FNV_PRIME
     return h
 
 
-def _shingle_hashes(batch: pa.Table, k: int = 3):
-    """Word k-gram shingle hashes per doc → list of (doc_id, uint64 set)."""
+def _shingle_arrays(batch: pa.Table, k: int = _SHINGLE_K):
+    """Whole-batch word-k-gram shingling → segmented arrays:
+    ``(doc_ids, shingle_values, seg_offsets)`` where
+    ``shingle_values[seg_offsets[i]:seg_offsets[i+1]]`` is row i's
+    DEDUPLICATED (sorted) shingle set. Docs with < k tokens fall back to
+    unigram hashes (same semantics as round 1; SQL oracle mirrors it)."""
     flat, parents = simple_tokens_flat(batch["text"])
     th = _hash_tokens(flat)
     par = np.asarray(parents, dtype=np.int64)
+    n = batch.num_rows
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    out = []
-    # boundaries of each doc's token run (parents are nondecreasing)
-    starts = np.searchsorted(par, np.arange(batch.num_rows), side="left")
-    ends = np.searchsorted(par, np.arange(batch.num_rows), side="right")
-    for row in range(batch.num_rows):
-        h = th[starts[row]:ends[row]]
-        if h.size < k:
-            sh = np.unique(h)  # short doc: unigram fallback
-        else:
-            sh = h[: h.size - k + 1].copy()
-            for j in range(1, k):
-                sh = sh * np.uint64(1099511628211) + h[j : h.size - k + 1 + j]
-            sh = np.unique(sh)
-        out.append((int(doc_ids[row]), sh))
-    return out
+    counts = np.bincount(par, minlength=n) if par.size else np.zeros(n, np.int64)
+    doc_start = np.concatenate(([0], np.cumsum(counts)))
+    total = th.size
+    if total == 0:
+        return doc_ids, np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+
+    pos_in_doc = np.arange(total) - doc_start[par]
+    big = counts[par] >= k                      # doc has a full window
+    win = big & (pos_in_doc <= counts[par] - k)  # valid window starts
+    wi = np.flatnonzero(win)
+    sh_big = th[wi]
+    for j in range(1, k):
+        sh_big = sh_big * _SHINGLE_MULT + th[wi + j]
+    si = np.flatnonzero(~big)                   # unigram fallback docs
+    sh = np.concatenate([sh_big, th[si]])
+    sh_doc = np.concatenate([par[wi], par[si]])
+
+    # per-doc dedupe: sort by (doc, value), drop adjacent equals
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    if sh.size:
+        keep = np.empty(sh.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (sh_doc[1:] != sh_doc[:-1]) | (sh[1:] != sh[:-1])
+        sh, sh_doc = sh[keep], sh_doc[keep]
+    seg = np.concatenate(([0], np.cumsum(np.bincount(sh_doc, minlength=n))))
+    return doc_ids, sh, seg.astype(np.int64)
+
+
+def _shingle_hashes(batch: pa.Table, k: int = _SHINGLE_K):
+    """Compat view of ``_shingle_arrays``: list of (doc_id, uint64 set)."""
+    doc_ids, sh, seg = _shingle_arrays(batch, k)
+    return [
+        (int(doc_ids[i]), sh[seg[i]:seg[i + 1]])
+        for i in range(len(doc_ids))
+    ]
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """64 universal-hash minima over the shingle set."""
+    """64 universal-hash minima over one shingle set (single-doc API;
+    the batch path is ``_signatures_segmented``)."""
     if shingles.size == 0:
-        return np.full(_NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (P, S) = a*x + b mod mersenne — vectorized outer product
+        return np.full(_NUM_PERM, _U64_MAX, dtype=np.uint64)
     prod = _A[:, None] * shingles[None, :] + _B[:, None]
     prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
     return prod.min(axis=1)
 
 
+def _signatures_segmented(sh: np.ndarray, seg: np.ndarray,
+                          perm_chunk: int = 16) -> np.ndarray:
+    """All docs' signatures at once → (NUM_PERM, n_docs) uint64.
+    ``np.minimum.reduceat`` over the doc segments; perms processed in
+    chunks so the (chunk × shingles) matrix stays ~10s of MB."""
+    n = seg.size - 1
+    out = np.full((_NUM_PERM, n), _U64_MAX, dtype=np.uint64)
+    if sh.size == 0 or n == 0:
+        return out
+    seg_sizes = np.diff(seg)
+    nonempty = np.flatnonzero(seg_sizes > 0)
+    if nonempty.size == 0:
+        return out
+    starts = seg[nonempty]
+    for p0 in range(0, _NUM_PERM, perm_chunk):
+        a = _A[p0:p0 + perm_chunk, None]
+        b = _B[p0:p0 + perm_chunk, None]
+        prod = a * sh[None, :] + b
+        prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
+        out[p0:p0 + perm_chunk, nonempty] = np.minimum.reduceat(
+            prod, starts, axis=1
+        )
+    return out
+
+
+def _band_buckets(sig: np.ndarray) -> np.ndarray:
+    """(NUM_PERM, n) signatures → (BANDS, n) int64 bucket keys: FNV-1a
+    fold of each band's ROWS values, sign bit masked (vectorized over
+    docs; loop = 64 fold steps)."""
+    n = sig.shape[1]
+    buckets = np.empty((_BANDS, n), dtype=np.uint64)
+    for band in range(_BANDS):
+        h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        for r in range(_ROWS):
+            h = (h ^ sig[band * _ROWS + r]) * _FNV_PRIME
+        buckets[band] = h & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return buckets.astype(np.int64)
+
+
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """(band, bucket, doc_id) rows — the LSH explode stage."""
-    bands, buckets, docs = [], [], []
-    for doc_id, sh in _shingle_hashes(batch):
-        sig = minhash_signature(sh)
-        for b in range(_BANDS):
-            chunk = sig[b * _ROWS : (b + 1) * _ROWS]
-            h = np.uint64(0xCBF29CE484222325)
-            for v in chunk:
-                h = (h ^ v) * _FNV_PRIME
-            bands.append(b)
-            buckets.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
-            docs.append(doc_id)
+    """(band, bucket, doc_id, all_buckets) rows — the LSH explode stage,
+    one row per (doc, band), all segmented numpy. ``all_buckets`` (the
+    doc's full 16-band bucket vector) rides along so the pair stage can
+    emit each candidate pair from its FIRST colliding band only — pairs
+    are then globally distinct by construction and the usual second
+    dedup shuffle disappears (one all-to-all instead of two)."""
+    doc_ids, sh, seg = _shingle_arrays(batch)
+    sig = _signatures_segmented(sh, seg)
+    buckets = _band_buckets(sig)                      # (BANDS, n)
+    n = len(doc_ids)
+    all_flat = np.repeat(buckets.T.reshape(1, -1), _BANDS, axis=0).reshape(-1)
     return pa.table(
         {
-            "band": pa.array(bands, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            "doc_id": pa.array(docs, pa.int64()),
+            "band": pa.array(
+                np.repeat(np.arange(_BANDS, dtype=np.int32), n), pa.int32()
+            ),
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            "doc_id": pa.array(
+                np.tile(np.asarray(doc_ids, np.int64), _BANDS), pa.int64()
+            ),
+            "all_buckets": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_flat, pa.int64()), _BANDS
+            ),
         }
     )
 
 
 def bucket_pairs_group(group: pa.Table, max_bucket: int = 200) -> pa.Table:
-    """One LSH bucket → candidate pairs (doc_a < doc_b). Buckets larger
-    than ``max_bucket`` are truncated to their smallest doc ids (logged
-    via the ``truncated`` flag, no silent cap)."""
-    docs = sorted(set(group["doc_id"].to_pylist()))
-    truncated = len(docs) > max_bucket
-    docs = docs[:max_bucket]
-    a, b = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a.append(docs[i])
-            b.append(docs[j])
+    """One LSH bucket → candidate pairs (doc_a < doc_b), vectorized
+    upper-triangle. Buckets larger than ``max_bucket`` are truncated to
+    their smallest doc ids (flagged via ``truncated``, no silent cap).
+
+    When the group carries ``all_buckets`` vectors, a pair is emitted
+    ONLY if this group's band is the pair's first colliding band —
+    making the union over all groups distinct with no extra shuffle."""
+    raw = group["doc_id"].to_numpy(zero_copy_only=False)
+    docs, first_idx = np.unique(raw, return_index=True)
+    truncated = docs.size > max_bucket
+    docs, first_idx = docs[:max_bucket], first_idx[:max_bucket]
+    iu, ju = np.triu_indices(docs.size, k=1)
+    if "all_buckets" in group.column_names and iu.size:
+        band = int(group["band"][0].as_py())
+        ab = group["all_buckets"]
+        if isinstance(ab, pa.ChunkedArray):
+            ab = ab.combine_chunks()
+        mat = np.asarray(ab.values, dtype=np.int64).reshape(len(raw), -1)
+        mat = mat[first_idx]
+        eq = mat[iu] == mat[ju]                       # (P, BANDS)
+        first_band = eq.argmax(axis=1)                # first colliding band
+        hit = first_band == band
+        iu, ju = iu[hit], ju[hit]
     return pa.table(
         {
-            "doc_a": pa.array(a, pa.int64()),
-            "doc_b": pa.array(b, pa.int64()),
-            "truncated": pa.array([truncated] * len(a), pa.bool_()),
+            "doc_a": pa.array(docs[iu], pa.int64()),
+            "doc_b": pa.array(docs[ju], pa.int64()),
+            "truncated": pa.array(np.full(iu.size, truncated), pa.bool_()),
         }
     )
 
 
-def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+def exact_jaccard(text_a: str, text_b: str, k: int = _SHINGLE_K) -> float:
     """Exact word-k-gram Jaccard (the verify step after LSH)."""
     t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
                   "text": pa.array([text_a, text_b], pa.string())})
@@ -184,6 +288,15 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def _hamming_matrix(sigs: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of uint64 signatures → (g, g) int64
+    via byte-view unpackbits (vectorized popcount)."""
+    x = sigs.astype(np.int64)[:, None] ^ sigs.astype(np.int64)[None, :]
+    bytes_ = x.astype(np.uint64).view(np.uint8).reshape(x.shape[0],
+                                                        x.shape[1], 8)
+    return np.unpackbits(bytes_, axis=2).sum(axis=2).astype(np.int64)
+
+
 # -- driver-level pipelines -----------------------------------------------
 
 def exact_dedup(docs_ds):
@@ -202,46 +315,68 @@ def exact_dedup(docs_ds):
 
 
 def minhash_candidates(docs_ds):
-    """→ Dataset of distinct candidate pairs (doc_a, doc_b)."""
+    """→ Dataset of distinct candidate pairs (doc_a, doc_b). ONE
+    all-to-all: the first-colliding-band rule inside each bucket group
+    makes pairs globally unique without a dedup shuffle."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "bucket"]).map_groups(
+    return bands.groupby(["band", "bucket"]).map_groups(
         bucket_pairs_group, batch_format="pyarrow"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
     ).select_columns(["doc_a", "doc_b"])
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3):
-    """→ Dataset (doc_a, doc_b, hamming) near-dup pairs via band blocking."""
-    sh = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+def simhash_explode_batch(batch: pa.Table) -> pa.Table:
+    """simhash rows → one (band_id, band_value, doc_id, simhash) row per
+    (doc, band) — the single-shuffle blocking layout (band values are
+    recoverable from the simhash, so the group function can apply the
+    first-colliding-band rule with no extra payload)."""
+    t = simhash_batch(batch)
+    n = t.num_rows
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = t["simhash"].to_numpy(zero_copy_only=False)
+    bands = np.stack([t[f"band{b}"].to_numpy(zero_copy_only=False)
+                      for b in range(4)])
+    return pa.table({
+        "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n),
+                            pa.int32()),
+        "band_value": pa.array(bands.reshape(-1), pa.int64()),
+        "doc_id": pa.array(np.tile(doc, 4), pa.int64()),
+        "simhash": pa.array(np.tile(sh, 4), pa.int64()),
+    })
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1000):
+    """→ Dataset (doc_a, doc_b, hamming) near-dup pairs via band
+    blocking, ONE all-to-all (pairs unique by the first-colliding-band
+    rule). Band groups larger than ``max_bucket`` are truncated to the
+    smallest doc ids (skew guard — one degenerate 16-bit band value
+    shared by n docs would otherwise cost O(n²) in a single group).
+    Pigeonhole: hamming ≤ 3 over 4 bands guarantees ≥1 shared band, so
+    (absent truncation) blocking loses no qualifying pair."""
+    rows = docs_ds.map_batches(simhash_explode_batch, batch_format="pyarrow")
 
     def band_pairs(group: pa.Table) -> pa.Table:
         docs = group["doc_id"].to_numpy(zero_copy_only=False)
         sigs = group["simhash"].to_numpy(zero_copy_only=False)
+        band = int(group["band_id"][0].as_py())
         order = np.argsort(docs)
         docs, sigs = docs[order], sigs[order]
-        a, b, h = [], [], []
-        for i in range(len(docs)):
-            if i + 1 < len(docs):
-                d = hamming64(np.repeat(sigs[i], len(docs) - i - 1),
-                              sigs[i + 1:])
-                for j, dist in zip(range(i + 1, len(docs)), d):
-                    if dist <= max_hamming and docs[i] != docs[j]:
-                        a.append(int(docs[i]))
-                        b.append(int(docs[j]))
-                        h.append(int(dist))
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(h, pa.int64())})
+        if docs.size > max_bucket:
+            docs, sigs = docs[:max_bucket], sigs[:max_bucket]
+        ham = _hamming_matrix(sigs)
+        iu, ju = np.triu_indices(docs.size, k=1)
+        hit = ham[iu, ju] <= max_hamming
+        iu, ju = iu[hit], ju[hit]
+        if iu.size:
+            u = sigs.astype(np.uint64)
+            bv = np.stack([((u >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                           for b in range(4)], axis=1).astype(np.int64)
+            eq = bv[iu] == bv[ju]                     # (P, 4)
+            keep = eq.argmax(axis=1) == band          # first colliding band
+            iu, ju = iu[keep], ju[keep]
+        return pa.table({"doc_a": pa.array(docs[iu], pa.int64()),
+                         "doc_b": pa.array(docs[ju], pa.int64()),
+                         "hamming": pa.array(ham[iu, ju], pa.int64())})
 
-    out = []
-    for band in range(4):
-        out.append(
-            sh.groupby(f"band{band}").map_groups(band_pairs,
-                                                 batch_format="pyarrow")
-        )
-    pairs = out[0].union(*out[1:])
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return rows.groupby(["band_id", "band_value"]).map_groups(
+        band_pairs, batch_format="pyarrow"
     )

@@ -274,44 +274,51 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
-    """(table_id, bucket, vec_id) — random-hyperplane signature rows."""
+    """(table_id, bucket, vec_id, all_buckets) — random-hyperplane
+    signature rows; ``all_buckets`` (every table's bucket for the vec)
+    lets the pair stage emit each pair from its first colliding table
+    only (globally distinct pairs, no dedup shuffle)."""
     m = _normalize(_embedding_matrix(batch))
-    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     planes = _planes(m.shape[1])
-    tables, buckets, vids = [], [], []
+    n = m.shape[0]
+    buckets = np.empty((_N_TABLES, n), dtype=np.int64)
     for t in range(_N_TABLES):
         signs = (m @ planes[t].T) > 0  # (B, P)
-        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        bucket = np.zeros(n, dtype=np.int64)
         for p in range(_N_PLANES):
             bucket |= signs[:, p].astype(np.int64) << p
-        tables.extend([t] * m.shape[0])
-        buckets.extend(bucket.tolist())
-        vids.extend(vec_ids.tolist())
+        buckets[t] = bucket
+    all_flat = np.repeat(buckets.T.reshape(1, -1), _N_TABLES,
+                         axis=0).reshape(-1)
     return pa.table(
         {
-            "table_id": pa.array(tables, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            "vec_id": pa.array(vids, pa.int64()),
+            "table_id": pa.array(
+                np.repeat(np.arange(_N_TABLES, dtype=np.int32), n), pa.int32()
+            ),
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            "vec_id": pa.array(np.tile(vec_ids, _N_TABLES), pa.int64()),
+            "all_buckets": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_flat, pa.int64()), _N_TABLES
+            ),
         }
     )
 
 
 def lsh_candidate_pairs(embeddings_ds, max_bucket: int = 500):
-    """Near-neighbor candidate pairs via hyperplane-LSH bucketing
-    (one groupby shuffle on (table, bucket))."""
+    """Near-neighbor candidate pairs via hyperplane-LSH bucketing —
+    ONE groupby shuffle on (table, bucket); distinct by the
+    first-colliding-table rule inside each group."""
     from searchengine_ray.pipelines.dedup import bucket_pairs_group
 
     rows = embeddings_ds.map_batches(lsh_bucket_batch, batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
         renamed = group.rename_columns(
-            ["band", "bucket", "doc_id"]
+            ["band", "bucket", "doc_id", "all_buckets"]
         )
         return bucket_pairs_group(renamed, max_bucket=max_bucket)
 
-    out = rows.groupby(["table_id", "bucket"]).map_groups(
+    return rows.groupby(["table_id", "bucket"]).map_groups(
         pairs, batch_format="pyarrow"
-    )
-    return out.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
     ).select_columns(["doc_a", "doc_b"])
