@@ -311,52 +311,46 @@ def _q_ann_cosine(sf_dir: str):
 
 # -- rows-only ops (no SQL equivalent) ------------------------------------
 
-def _q_search_bm25(sf_dir: str):
+def _search_suite(idx: str, **searcher_kw) -> pa.Table:
+    """Run the 5-query suite → (query_id, rank, doc_id, score_q4) with
+    scores quantized for value-exact oracle comparison."""
     from searchengine_ray.query.engine import Searcher
 
-    idx = _index_for(sf_dir, _full_cfg())
-    s = Searcher(idx)
-    out = []
+    s = Searcher(idx, **searcher_kw)
+    qids, ranks, docs, scores = [], [], [], []
     for qid, q in enumerate(SEARCH_QUERIES):
         t = s.search(q, TOPK, with_urls=False)
-        out.append(
-            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
-        )
-    return pa.concat_tables(out)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(_q4(t["score"].to_numpy(zero_copy_only=False)).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_q4": pa.array(scores, pa.int64()),
+    })
+
+
+def _q_search_bm25(sf_dir: str):
+    return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
 def _q_search_tfidf(sf_dir: str):
     from searchengine_ray.config import RankerType
-    from searchengine_ray.query.engine import Searcher
 
-    idx = _index_for(sf_dir, _full_cfg(ranker=RankerType.TF_IDF))
-    s = Searcher(idx)
-    out = []
-    for qid, q in enumerate(SEARCH_QUERIES):
-        t = s.search(q, TOPK, with_urls=False)
-        out.append(
-            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
-        )
-    return pa.concat_tables(out)
+    return _search_suite(_index_for(sf_dir, _full_cfg(ranker=RankerType.TF_IDF)))
 
 
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
-    from searchengine_ray.query.engine import Searcher
 
     idx = _index_for(
         sf_dir,
         _full_cfg(ranker=RankerType.BM25_OPTIMIZED,
                   posting_type=PostingType.POSITIONAL),
     )
-    s = Searcher(idx)
-    out = []
-    for qid, q in enumerate(SEARCH_QUERIES):
-        t = s.search(q, TOPK, with_urls=False)
-        out.append(
-            t.append_column("query_id", pa.array([qid] * t.num_rows, pa.int64()))
-        )
-    return pa.concat_tables(out)
+    return _search_suite(idx)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -382,15 +376,40 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """Binary-column features over the pages corpus. The fake-decoder
+    feature vector (md5-derived uint16s, multimodal.py) is flattened to
+    quantized scalars f0..f7 so DuckDB can reproduce it exactly via
+    md5_number_upper/lower (little-endian uint64 halves of the digest)."""
     import ray.data
 
-    from searchengine_ray.pipelines.multimodal import extract_binary_features
+    from searchengine_ray.pipelines.multimodal import (
+        FEATURE_DIM,
+        extract_binary_features,
+    )
     from searchengine_ray.sources.pages import materialize_pages
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
     ds = ray.data.read_parquet(pages, columns=["url", "html"])
-    return extract_binary_features(ds, column="html")
+    feats = extract_binary_features(ds, column="html")
+
+    def flatten(b: pa.Table) -> pa.Table:
+        fv = b["features"]
+        if isinstance(fv, pa.ChunkedArray):
+            fv = fv.combine_chunks()
+        m = np.asarray(fv.values, np.float64).reshape(-1, FEATURE_DIM)
+        cols = {
+            "url": b["url"],
+            "payload_bytes": b["payload_bytes"],
+            "magic": b["magic"],
+        }
+        for i in range(FEATURE_DIM):
+            cols[f"f{i}"] = pa.array(
+                np.round(m[:, i] * 65536.0).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -594,4 +613,26 @@ def oracle_sql() -> dict[str, str]:
     }
     # block-max WAND is score-preserving: its oracle IS the BM25 oracle
     out["search_wand"] = out["bm25_topk"]
+
+    # round-2 oracles (searchengine_ray/oracles.py): every fixed-constant
+    # hash pipeline reproduced in DuckDB SQL (HUGEINT mod-2^64 arithmetic),
+    # the full-tokenizer searches via an embedded Porter2 stem map (the
+    # stemmer itself is covered by the Porter2 vocabulary test).
+    from searchengine_ray import oracles
+    from searchengine_ray.pipelines.analysis import _LANG_MARKERS
+    from searchengine_ray.text.tokenizer import DEFAULT_STOP_WORDS
+
+    cfg = _full_cfg()
+    out["lang_id"] = oracles.sql_lang_id(pclass, _LANG_MARKERS)
+    out["multimodal_features"] = oracles.sql_multimodal_features()
+    out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
+    out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
+    out["lsh_candidates"] = oracles.sql_lsh_candidates()
+    out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
+    out["search_bm25"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_tfidf"] = oracles.sql_search_tfidf(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
     return out

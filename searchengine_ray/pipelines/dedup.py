@@ -315,13 +315,16 @@ def exact_dedup(docs_ds):
 
 
 def minhash_candidates(docs_ds):
-    """→ Dataset of distinct candidate pairs (doc_a, doc_b). ONE
-    all-to-all: the first-colliding-band rule inside each bucket group
-    makes pairs globally unique without a dedup shuffle."""
+    """→ Dataset of distinct candidate pairs (doc_a, doc_b, truncated).
+    ONE all-to-all: the first-colliding-band rule inside each bucket
+    group makes pairs globally unique without a dedup shuffle. The
+    ``truncated`` flag marks pairs from capped (skew-truncated) buckets
+    — kept in the output so every block has one schema (a trailing
+    projection leaves Ray's empty sort-partition blocks unprojected)."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
     return bands.groupby(["band", "bucket"]).map_groups(
         bucket_pairs_group, batch_format="pyarrow"
-    ).select_columns(["doc_a", "doc_b"])
+    )
 
 
 def simhash_explode_batch(batch: pa.Table) -> pa.Table:

@@ -321,4 +321,4 @@ def lsh_candidate_pairs(embeddings_ds, max_bucket: int = 500):
 
     return rows.groupby(["table_id", "bucket"]).map_groups(
         pairs, batch_format="pyarrow"
-    ).select_columns(["doc_a", "doc_b"])
+    )
