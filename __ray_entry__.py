@@ -635,4 +635,10 @@ def oracle_sql() -> dict[str, str]:
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )
+    out["search_bm25_positional"] = oracles.sql_search_bm25_positional(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["ivf_ann_topk"] = oracles.sql_ivf_topk(
+        [0, 1, 2], k=5, n_centroids=8, nprobe=4
+    )
     return out
