@@ -160,6 +160,8 @@ def build_index(
     text_column: str = "text",
     url_column: str | None = "url",
     overwrite: bool = False,
+    consolidate_above: int = 512,
+    consolidate_factor: int = 32,
 ) -> dict:
     """Build a full index under ``out_dir``; returns the manifest dict.
 
@@ -238,13 +240,44 @@ def build_index(
     metrics["tokenize_fragments"] = len(frags)
     metrics["tokenize_fragments_resumed"] = len(frags) - len(pending)
 
-    # -- 4. corpus stats from the per-fragment sidecars (no extra pass;
-    # at >>10^4 fragments fold with a small ray task tree instead) --------
+    # -- 4. corpus stats from the per-fragment sidecars (no extra pass).
+    # Small builds fold serially; big builds fold with ONE distributed
+    # wave that returns a single partial row per task (the promised
+    # task-tree fold — the driver never opens 10^5 sidecar files).
     t0 = time.perf_counter()
-    frag_stats = []
-    for f in frags:
-        with open(fragment_stats_path(tok_dir, f.doc_offset)) as fh:
-            frag_stats.append(json.load(fh))
+    if len(frags) <= 2048:
+        frag_stats = []
+        for f in frags:
+            with open(fragment_stats_path(tok_dir, f.doc_offset)) as fh:
+                frag_stats.append(json.load(fh))
+    else:
+        def fold_sidecars(batch: pa.Table) -> pa.Table:
+            docs = postings = sum_dl = 0
+            min_dl, max_dl = None, None
+            for off in batch["doc_offset"].to_pylist():
+                with open(fragment_stats_path(tok_dir, off)) as fh:
+                    s = json.load(fh)
+                docs += s["docs"]
+                postings += s["postings"]
+                sum_dl += s["sum_dl"]
+                if s["docs"]:
+                    min_dl = s["min_dl"] if min_dl is None \
+                        else min(min_dl, s["min_dl"])
+                    max_dl = s["max_dl"] if max_dl is None \
+                        else max(max_dl, s["max_dl"])
+            return pa.table({
+                "docs": [docs], "postings": [postings], "sum_dl": [sum_dl],
+                "min_dl": [min_dl if min_dl is not None else 0],
+                "max_dl": [max_dl if max_dl is not None else 0],
+            })
+
+        frag_stats = ray.data.from_arrow(
+            pa.table({"doc_offset": pa.array(
+                [f.doc_offset for f in frags], pa.int64())})
+        ).repartition(n_cpus).map_batches(
+            fold_sidecars, batch_format="pyarrow", batch_size=None,
+            num_cpus=1,
+        ).take_all()
     n_docs = sum(s["docs"] for s in frag_stats)
     total_dl = sum(s["sum_dl"] for s in frag_stats)
     total_postings = sum(s["postings"] for s in frag_stats)
@@ -266,25 +299,78 @@ def build_index(
 
     # -- 6. the reduce wave of the exchange --------------------------------
     t0 = time.perf_counter()
-    gkeys_of_file = {r["file"]: [int(g) for g in r["gkeys"]]
-                     for r in spill_stats}
-    active_gkeys = sorted({g for gs in gkeys_of_file.values() for g in gs})
     # exact global dfs for salted terms, folded from the spill stats
     # (a salted term's records can't see their siblings at merge time)
     hot_df: dict[str, int] = {}
     for r in spill_stats:
         for t, d in zip(r["hot_terms"], r["hot_dfs"]):
             hot_df[t] = hot_df.get(t, 0) + int(d)
+    n_spill_files = len(spill_stats)
+    metrics["spill_files"] = n_spill_files
+
+    # hierarchical spill consolidation: with >>10^3 fragments a gkey's
+    # rows live in thousands of files; one extra wave cuts per-gkey
+    # fan-in by ``consolidate_factor`` before any merge task runs
+    if n_spill_files > consolidate_above:
+        from searchengine_ray.build.merge import consolidate_spill_files
+
+        files_sorted = sorted(r["file"] for r in spill_stats)
+        fac = consolidate_factor
+        groups = [files_sorted[i:i + fac]
+                  for i in range(0, len(files_sorted), fac)]
+
+        def consolidate(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                out_path = os.path.join(
+                    spill_dir,
+                    f"consol-{row['group_id']:06d}-{len(row['files'])}.parquet",
+                )
+                outs.append(consolidate_spill_files(row["files"], out_path))
+            return pa.concat_tables(outs)
+
+        group_tbl = pa.table({
+            "group_id": pa.array(range(len(groups)), pa.int64()),
+            "files": pa.array(groups, pa.list_(pa.string())),
+        })
+        cons_stats = (
+            ray.data.from_arrow(group_tbl)
+            .repartition(len(groups))
+            .map_batches(consolidate, batch_format="pyarrow",
+                         batch_size=None, num_cpus=1)
+            .take_all()
+        )
+        spill_index = [{"file": r["file"], "gkeys": r["gkeys"]}
+                       for r in cons_stats]
+        metrics["consolidate_waves"] = 1
+    else:
+        spill_index = spill_stats
+    from searchengine_ray.build.merge import invert_spill_stats
+
+    files_of_gkey = invert_spill_stats(spill_index)
+    active_gkeys = sorted(files_of_gkey)
     metrics["spill_sec"] = round(time.perf_counter() - t0, 3)
-    metrics["spill_files"] = len(gkeys_of_file)
 
     t1 = time.perf_counter()
     writer = ShardWriter(shard_dir, cfg, n_docs, hot_df)
-    gkey_ds = ray.data.from_arrow(
-        pa.table({"gkey": pa.array(active_gkeys, pa.int64())})
-    ).repartition(max(1, min(len(active_gkeys), n_cpus)))
+    # each row carries exactly its own gkey's (file, row-group) list —
+    # merge tasks ship/scan O(own fan-in), not O(all spill files)
+    gkey_tbl = pa.table({
+        "gkey": pa.array(active_gkeys, pa.int64()),
+        "files": pa.array(
+            [[f for f, _ in files_of_gkey[g]] for g in active_gkeys],
+            pa.list_(pa.string()),
+        ),
+        "rgs": pa.array(
+            [[i for _, i in files_of_gkey[g]] for g in active_gkeys],
+            pa.list_(pa.int32()),
+        ),
+    })
+    gkey_ds = ray.data.from_arrow(gkey_tbl).repartition(
+        max(1, min(len(active_gkeys), n_cpus))
+    )
     shard_stats = gkey_ds.map_batches(
-        ShardMergeTask(gkeys_of_file, writer),
+        ShardMergeTask(writer),
         batch_format="pyarrow",
         batch_size=None,
         num_cpus=1,
@@ -292,7 +378,9 @@ def build_index(
     metrics["reduce_sec"] = round(time.perf_counter() - t1, 3)
     metrics["merge_sec"] = round(time.perf_counter() - t0, 3)
     total_postings = sum(r["n_postings"] for r in shard_stats if r["n_postings"] >= 0)
-    metrics["merge_fan_in"] = len(frags)  # every fragment can feed every shard
+    metrics["merge_fan_in"] = max(
+        (len(v) for v in files_of_gkey.values()), default=0
+    )  # max spill files any one merge task reads
     if metrics["merge_sec"] > 0:
         metrics["docs_per_sec"] = round(n_docs / max(
             1e-9, metrics["tokenize_sec"] + metrics["merge_sec"]), 1)

@@ -80,3 +80,43 @@ def test_manifest_records_supported_languages(small_index):
     _, idx = small_index
     m = load_manifest(idx)
     assert m["tokenizer"]["supported_languages"] == ["english"]
+
+
+def test_consolidated_reduce_equivalence(ray_session, tmp_path):
+    """Hierarchical spill consolidation (round-2 fan-in fix) must not
+    change a single byte of the index: build once directly and once
+    through a consolidation wave over a many-fragment corpus, then
+    compare every shard table and the search results."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import unit_pages
+
+    base = unit_pages()
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(24):  # 24 files -> 24 fragments
+        pq.write_table(base, src / f"part-{i:03d}.parquet")
+
+    cfg = IndexConfig(num_shards=2)
+    m_direct = build_index(str(src), str(tmp_path / "direct"), cfg,
+                           consolidate_above=10**9)
+    m_cons = build_index(str(src), str(tmp_path / "cons"), cfg,
+                         consolidate_above=8, consolidate_factor=4)
+    assert m_cons["metrics"].get("consolidate_waves") == 1
+    assert m_cons["metrics"]["merge_fan_in"] <= 6  # ceil(24/4)
+    assert m_direct["metrics"]["merge_fan_in"] == 24
+
+    shards_a = {s["file"].split("/")[-1]: s for s in m_direct["shards"]}
+    shards_b = {s["file"].split("/")[-1]: s for s in m_cons["shards"]}
+    assert shards_a.keys() == shards_b.keys()
+    for name in shards_a:
+        ta = pq.read_table(shards_a[name]["file"])
+        tb = pq.read_table(shards_b[name]["file"])
+        assert ta.equals(tb), name
+
+    for q in ("game player", "good old games"):
+        ra = Searcher(str(tmp_path / "direct")).search(q, 5)
+        rb = Searcher(str(tmp_path / "cons")).search(q, 5)
+        assert ra.equals(rb)
