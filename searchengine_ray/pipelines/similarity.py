@@ -13,6 +13,8 @@ key distributes uniformly for random hyperplanes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -154,10 +156,69 @@ def _kmeans_deterministic(sample: np.ndarray, k: int, iters: int = 8):
     return centroids
 
 
-class IvfTopKStage:
-    """Per-batch IVF probe: score only rows whose bucket is probed by
-    ≥1 query (bucket = nearest centroid). Broadcast state resolved once
-    per actor."""
+def ivf_build(embeddings_ds, out_dir: str, n_centroids: int = 16,
+              sample_cap: int = 2048, overwrite: bool = False) -> dict:
+    """Build the PERSISTED IVF layout once (round-2 VERDICT #5): a
+    deterministic k-means over an id-strided sample, then the whole
+    dataset written as parquet PARTITIONED BY CELL (hive ``cell=N``
+    directories). A probe then reads only its ``nprobe`` cell
+    directories — probe I/O is proportional to cells probed, never a
+    full corpus scan. Returns the manifest (centroids inline)."""
+    import json
+    import shutil
+
+    manifest_path = os.path.join(out_dir, "ivf_manifest.json")
+    if os.path.exists(manifest_path) and not overwrite:
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    n_total = embeddings_ds.count()
+    stride = max(1, n_total // sample_cap)
+
+    def take_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % stride == 0),
+                                   pa.int64()))
+
+    sample_rows = embeddings_ds.map_batches(
+        take_sample, batch_format="pyarrow"
+    ).take_all()
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    sample_rows = sample_rows[:sample_cap]
+    sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
+                               dtype=np.float64))
+    centroids = _kmeans_deterministic(sm, n_centroids)
+
+    data_dir = os.path.join(out_dir, "cells")
+    shutil.rmtree(data_dir, ignore_errors=True)  # no manifest → partial
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch))
+        cells = (m @ centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells, pa.int32()))
+
+    embeddings_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["cell"]
+    )
+    manifest = {
+        "n_centroids": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "n_rows": int(n_total),
+        "centroids": centroids.tolist(),
+    }
+    tmp = manifest_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return manifest
+
+
+class _ProbeScoreStage:
+    """Actor-pool stage over probed-cell rows: per-batch cosine partial
+    top-k, restricted per query to ITS probed cells (the ``cell``
+    column re-attached at read time keeps per-query parity with an
+    unpartitioned probe)."""
 
     def __init__(self, state_ref, k: int = 5):
         import ray
@@ -165,17 +226,16 @@ class IvfTopKStage:
         st = ray.get(state_ref) if not isinstance(state_ref, dict) else state_ref
         self.qm = st["qm"]
         self.query_ids = st["query_ids"]
-        self.centroids = st["centroids"]
-        self.probe = st["probe"]  # (Q, nprobe) centroid ids per query
+        self.probe = st["probe"]
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
         m = _normalize(_embedding_matrix(batch))
-        buckets = (m @ self.centroids.T).argmax(axis=1)
         qids, vids, svals = [], [], []
         for qi in range(self.qm.shape[0]):
-            probed = np.isin(buckets, self.probe[qi]) & (
+            probed = np.isin(cells, self.probe[qi]) & (
                 vec_ids != self.query_ids[qi]
             )
             idx = np.flatnonzero(probed)
@@ -194,49 +254,69 @@ class IvfTopKStage:
         })
 
 
-def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
-             n_centroids: int = 16, nprobe: int = 4,
-             sample_cap: int = 2048):
-    """Approximate cosine top-k via IVF (inverted-file) probing:
-    deterministic k-means centroids from a strided sample, each batch
-    scores only vectors in the query's ``nprobe`` nearest cells.
-    → pyarrow Table (query_id, vec_id, sim, rank)."""
-    import pyarrow.compute as pcc
+def ivf_search(index_dir: str, query_matrix: np.ndarray,
+               query_ids: np.ndarray, k: int = 5, nprobe: int = 4,
+               return_stats: bool = False):
+    """Probe a persisted IVF layout: read ONLY the union of the
+    queries' ``nprobe`` nearest cell directories (directory-level
+    pruning), score them in an autoscaling actor pool, fold the tiny
+    per-batch partials. → (query_id, vec_id, sim, rank) table."""
+    import glob
+    import json
+
     import ray
+    import ray.data
 
-    # deterministic sample: select by id stride (independent of block
-    # arrival order, stable across runs and cluster sizes)
-    qset = pa.array(sorted(query_ids), pa.int64())
-    n_total = embeddings_ds.count()
-    stride = max(1, n_total // sample_cap)
-
-    def take_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return batch.take(pa.array(np.flatnonzero(ids % stride == 0),
-                                   pa.int64()))
-
-    sample_rows = embeddings_ds.map_batches(
-        take_sample, batch_format="pyarrow"
-    ).take_all()
-    sample_rows.sort(key=lambda r: r["vec_id"])
-    sample_rows = sample_rows[:sample_cap]
-    sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
-                               dtype=np.float64))
-    centroids = _kmeans_deterministic(sm, n_centroids)
-
-    q_rows = embeddings_ds.map_batches(
-        lambda b: b.filter(pcc.is_in(b["vec_id"], value_set=qset)),
-        batch_format="pyarrow",
-    ).take_all()
-    q_rows.sort(key=lambda r: r["vec_id"])
-    qm = _normalize(np.asarray([r["embedding"] for r in q_rows], np.float64))
-    qids = np.asarray([r["vec_id"] for r in q_rows], np.int64)
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
     probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
 
-    ref = ray.put({"qm": qm, "query_ids": qids, "centroids": centroids,
-                   "probe": probe})
-    partials = embeddings_ds.map_batches(
-        IvfTopKStage,
+    data_dir = os.path.join(index_dir, "cells")
+    total_files = len(glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                                recursive=True))
+    parts = []
+    files_read = 0
+    for c in sorted({int(c) for c in probe.reshape(-1)}):
+        cell_dir = os.path.join(data_dir, f"cell={c}")
+        if not os.path.isdir(cell_dir):
+            continue
+        files_read += len(glob.glob(os.path.join(cell_dir, "*.parquet")))
+        # make sure every row carries its cell id (Ray restores the
+        # hive partition column when it can parse the path; attach it
+        # ourselves otherwise) so scoring keeps per-query restrictions
+        def tag(b: pa.Table, c=c) -> pa.Table:
+            if "cell" in b.column_names:
+                return b.set_column(
+                    b.column_names.index("cell"), "cell",
+                    pa.array(np.full(b.num_rows, c, np.int32)),
+                )
+            return b.append_column(
+                "cell", pa.array(np.full(b.num_rows, c, np.int32))
+            )
+
+        parts.append(
+            ray.data.read_parquet(cell_dir).map_batches(
+                tag, batch_format="pyarrow"
+            )
+        )
+    stats = {"files_read": files_read, "files_total": total_files,
+             "cells_probed": len(parts),
+             "cells_total": manifest["n_centroids"]}
+    if not parts:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int32()),
+        })
+        return (empty, stats) if return_stats else empty
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    ref = ray.put({"qm": qm, "query_ids": qids, "probe": probe})
+    partials = ds.map_batches(
+        _ProbeScoreStage,
         fn_constructor_kwargs=dict(state_ref=ref, k=k),
         batch_format="pyarrow", batch_size=4096,
         concurrency=autoscale_concurrency(),
@@ -253,12 +333,47 @@ def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
             vout.append(vid)
             sout.append(sim)
             rout.append(rank)
-    return pa.table({
+    out = pa.table({
         "query_id": pa.array(qout, pa.int64()),
         "vec_id": pa.array(vout, pa.int64()),
         "sim": pa.array(sout, pa.float64()),
         "rank": pa.array(rout, pa.int32()),
     })
+    return (out, stats) if return_stats else out
+
+
+def ivf_topk(embeddings_ds, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             sample_cap: int = 2048, index_dir: str | None = None):
+    """Approximate cosine top-k via the persisted IVF layout: build
+    once (content-keyed cache dir unless ``index_dir`` given), then
+    probe — identical results to the round-1 in-flight probe, but probe
+    I/O touches only the ``nprobe`` cell partitions."""
+    import hashlib
+
+    import pyarrow.compute as pcc
+
+    if index_dir is None:
+        try:
+            src = "|".join(sorted(embeddings_ds.input_files()))
+        except Exception:
+            src = repr(embeddings_ds)
+        key = hashlib.md5(
+            f"{src}|{n_centroids}|{sample_cap}".encode()
+        ).hexdigest()[:16]
+        index_dir = f"/tmp/graft_ivf/{key}"
+    ivf_build(embeddings_ds, index_dir, n_centroids=n_centroids,
+              sample_cap=sample_cap)
+
+    qset = pa.array(sorted(query_ids), pa.int64())
+    q_rows = embeddings_ds.map_batches(
+        lambda b: b.filter(pcc.is_in(b["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qm = np.asarray([r["embedding"] for r in q_rows], np.float64)
+    qids = np.asarray([r["vec_id"] for r in q_rows], np.int64)
+    return ivf_search(index_dir, qm, qids, k=k, nprobe=nprobe)
 
 
 # -- LSH-bucketed variant (scale path) ------------------------------------

@@ -62,3 +62,27 @@ def test_ivf_recall_vs_bruteforce(ray_session):
         key = (r["query_id"], r["vec_id"])
         if key in ex:
             assert abs(ex[key] - r["sim"]) < 1e-12
+
+
+def test_ivf_persisted_probe_reads_only_probed_cells(ray_session, tmp_path):
+    """The persisted IVF layout must prune I/O to the probed cell
+    directories (round-2: no full scan per probe)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import ivf_build, ivf_search
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(emb)
+    idx = str(tmp_path / "ivf")
+    man = ivf_build(ds, idx, n_centroids=8)
+    assert man["n_centroids"] == 8
+
+    qm = np.asarray(emb["embedding"].to_pylist()[:2], dtype=np.float64)
+    qids = np.asarray(emb["vec_id"].to_pylist()[:2], dtype=np.int64)
+    out, stats = ivf_search(idx, qm, qids, k=5, nprobe=2,
+                            return_stats=True)
+    assert out.num_rows > 0
+    assert stats["cells_probed"] <= 4  # <= 2 queries x 2 cells
+    assert stats["files_read"] < stats["files_total"]
+    # rebuild is a no-op (manifest cache)
+    assert ivf_build(ds, idx, n_centroids=8) == man
