@@ -160,6 +160,18 @@ class TokenizeStage:
         run_len = np.diff(np.append(starts, total)).astype(np.int32)
         run_parent = p_s[starts]
         run_code = c_s[starts]
+        # reorder runs to FIRST-OCCURRENCE order within each doc — the
+        # reference's insertion-ordered dict (index.py:173-180): list
+        # columns and, crucially, the cosine-norm float fold below then
+        # accumulate in exactly the reference's order (ADVICE r1 #4)
+        run_first = pos_s[starts]
+        perm = np.lexsort((run_first, run_parent))
+        identity = np.array_equal(perm, np.arange(perm.size))
+        if not identity:
+            starts = starts[perm]
+            run_len = run_len[perm]
+            run_parent = run_parent[perm]
+            run_code = run_code[perm]
         runs_per_doc = np.bincount(run_parent, minlength=n_docs)
         doc_off = np.concatenate(([0], np.cumsum(runs_per_doc))).astype(np.int32)
 
@@ -169,9 +181,17 @@ class TokenizeStage:
         tfs_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
                                            pa.array(run_len, pa.int32()))
         if need_pos:
-            inner_off = np.append(starts, total).astype(np.int32)
-            inner = pa.ListArray.from_arrays(pa.array(inner_off, pa.int32()),
-                                             pa.array(pos_s, pa.int32()))
+            seg_pref = np.concatenate(([0], np.cumsum(run_len))).astype(np.int64)
+            if identity:
+                pos_vals = pos_s
+            else:  # gather each run's positions in the permuted order
+                idx = np.repeat(starts.astype(np.int64) - seg_pref[:-1],
+                                run_len) + np.arange(total)
+                pos_vals = pos_s[idx]
+            inner = pa.ListArray.from_arrays(
+                pa.array(seg_pref.astype(np.int32), pa.int32()),
+                pa.array(pos_vals, pa.int32()),
+            )
             pos_col = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()),
                                                inner)
         else:
@@ -184,7 +204,16 @@ class TokenizeStage:
             schema0 = self.cfg.smart_schema[0]
             tf = run_len.astype(np.float64)
             if schema0 == "l":
-                w = 1.0 + np.log(tf)
+                # libm's log via a distinct-tf LUT: np.log differs from
+                # math.log in the last ulp for some inputs (e.g. log 3),
+                # which would break bit-exact parity with the reference
+                import math
+
+                uniq_tf, inv = np.unique(run_len, return_inverse=True)
+                lut = np.array(
+                    [1.0 + math.log(float(t)) if t > 0 else 0.0
+                     for t in uniq_tf], np.float64)
+                w = lut[inv]
             elif schema0 == "b":
                 w = np.ones_like(tf)
             else:

@@ -87,3 +87,27 @@ def test_non_ascii_batch_takes_python_path():
     # ascii rows agree with the pure-python path
     dls, *_ = stage._rows_python(texts)
     assert out["dl"].to_pylist() == dls
+
+
+@pytest.mark.parametrize("cfg", [
+    IndexConfig(),
+    IndexConfig(min_token_length=2, posting_type=PostingType.POSITIONAL,
+                ranker=RankerType.BM25_OPTIMIZED),
+    IndexConfig(ranker=RankerType.TF_IDF, smart_schema="lnc.ltc"),
+])
+def test_vector_exactly_equals_python(cfg):
+    """Round 2: runs are reordered to first-occurrence order, so the
+    vectorized path now matches the per-row path EXACTLY — list order
+    AND bit-exact tf_weights (the cosine norm folds in the reference's
+    insertion order; ADVICE r1 #4)."""
+    stage = TokenizeStage(cfg)
+    batch = _tbl(ASCII_TEXTS)
+    vec = stage(batch)
+    dls, terms, tfs, pos, ws = stage._rows_python(ASCII_TEXTS)
+    assert vec["dl"].to_pylist() == dls
+    assert vec["terms"].to_pylist() == terms
+    assert vec["tfs"].to_pylist() == tfs
+    if cfg.posting_type == PostingType.POSITIONAL:
+        assert vec["positions"].to_pylist() == pos
+    if cfg.ranker == RankerType.TF_IDF:
+        assert vec["tf_weights"].to_pylist() == ws  # bit-exact floats
