@@ -114,7 +114,18 @@ class Searcher:
                 tokens, recs, self.scorer, n
             )
             return docs, scores
-        doc_ids, scores = self.scorer.score(tokens, recs)
+        from searchengine_ray.query.scorers import (
+            BM25PositionalScorer,
+            TfIdfPositionalScorer,
+        )
+
+        if isinstance(self.scorer, (BM25PositionalScorer,
+                                    TfIdfPositionalScorer)):
+            # score-preserving boost pruning: exact boost only for docs
+            # whose upper bound could reach the top-n
+            doc_ids, scores = self.scorer.score(tokens, recs, top_n=n)
+        else:
+            doc_ids, scores = self.scorer.score(tokens, recs)
         if self.cfg.ranker == RankerType.RAW:
             return doc_ids[:n], scores[:n]  # reference truncates unsorted
         return top_k(doc_ids, scores, n)

@@ -105,8 +105,11 @@ def _decode_row(row: dict) -> PostingsRec:
         weights = np.asarray(row["weights"], dtype=np.float64)
     positions = None
     if row["positions_enc"]:
+        # tf == per-doc position count for positional postings → fully
+        # vectorized decode (no per-doc header walk)
         positions = RaggedPositions(
-            *decode_positions_ragged(row["positions_enc"], len(doc_ids))
+            *decode_positions_ragged(row["positions_enc"], len(doc_ids),
+                                     lengths=tfs)
         )
     return PostingsRec(
         term=row["term"], df=int(row["df"]), idf=float(row["idf"]),

@@ -206,10 +206,21 @@ def _pair_boost_scores(rec1, rec2, qd: int, docs_sorted: np.ndarray):
     ordered term pair. Float-op order matches the reference exactly:
     per-pos1 max is order-independent (max), the per-doc sum over pos1
     uses sequential ``bincount`` in position order, and log10 is libm's.
-    → per-doc scores aligned to ``docs_sorted`` (zeros elsewhere)."""
+    → per-doc scores aligned to ``docs_sorted`` (zeros elsewhere).
+    ``docs_sorted`` may be a SUBSET of the matched docs (boost pruning):
+    common docs outside it are skipped — per-doc values are independent,
+    so the survivors' floats are unchanged."""
     common, i1, i2 = np.intersect1d(
         rec1.doc_ids, rec2.doc_ids, assume_unique=True, return_indices=True
     )
+    if common.size:
+        if docs_sorted.size == 0:
+            return None
+        pos = np.searchsorted(docs_sorted, common)
+        pos[pos >= docs_sorted.size] = docs_sorted.size - 1
+        keep = docs_sorted[pos] == common
+        if not keep.all():
+            common, i1, i2 = common[keep], i1[keep], i2[keep]
     if common.size == 0:
         return None
     f1, l1, s1 = rec1.positions_ragged()
@@ -275,23 +286,73 @@ def positional_boost_all(query_tokens: list[str], docs_sorted: np.ndarray,
     return boosts
 
 
+def _aux_max_of_qd(qd: int) -> float:
+    """max over pd ∈ [−10, 10] of the reference aux value — the per-p1
+    ceiling used by the boost upper bound."""
+    best = 0.0
+    for pd in range(-BOOST_MAX_DISTANCE, BOOST_MAX_DISTANCE + 1):
+        signal = -1 if pd < 0 else 1
+        distance = signal * (qd - pd)
+        if distance >= 0:
+            aux = -math.log10(distance + 1) + BOOST_C
+        else:
+            aux = (math.log10(-distance + 1) + BOOST_C) * 0.8
+        if aux > best:
+            best = aux
+    return best
+
+
+def boost_total_upper_bound(query_tokens: list[str], docs_sorted: np.ndarray,
+                            recs: dict) -> np.ndarray:
+    """Per-doc upper bound on the proximity-boost TOTAL: for each
+    ordered pair, every p1 contributes at most ``aux_max(qd)``, so
+    ``total(doc) ≤ Σ_pairs tf₁(doc)·aux_max`` — O(postings), no
+    position cross-product. Used for score-preserving boost pruning
+    (only docs whose bound could reach the top-k get the exact boost)."""
+    toks = list(query_tokens)
+    ub = np.zeros(docs_sorted.size, np.float64)
+    for a in range(len(toks)):
+        rec1 = recs.get(toks[a])
+        if rec1 is None or rec1.positions is None:
+            continue
+        for b in range(a + 1, len(toks)):
+            if toks[a] == toks[b]:
+                continue
+            rec2 = recs.get(toks[b])
+            if rec2 is None or rec2.positions is None:
+                continue
+            amax = _aux_max_of_qd(b - a + 1)
+            pos = np.searchsorted(docs_sorted, rec1.doc_ids)
+            ub[pos] += rec1.tfs_f64() * amax
+    return ub
+
+
 class BM25PositionalScorer(BM25Scorer):
     """BM25 over positional postings (freq = #positions) + proximity
     boost normalized by document length — reference
     ``bm25_positional.py:73-103``. Deviation from the reference
     (documented): docs whose dl_div_avgdl equals the corpus minimum make
     the reference divide by log2(1)=0 and crash; we skip the boost for
-    those docs instead."""
+    those docs instead.
+
+    With ``top_n`` set, the exact boost is evaluated ONLY for docs whose
+    boost upper bound could lift them into the top-n (score-preserving
+    pruning, same contract as WAND: returned (doc, score) pairs are
+    bit-identical to the exhaustive evaluation)."""
 
     def __init__(self, cfg: IndexConfig, stats: dict):
         super().__init__(cfg, stats)
         self.min_dldiv = stats["min_dldiv"]
         self.max_dldiv = stats["max_dldiv"]
 
-    def score(self, query_tokens: list[str], recs: dict) -> tuple:
+    def score(self, query_tokens: list[str], recs: dict,
+              top_n: int | None = None) -> tuple:
         docs, scores = super().score(query_tokens, recs)
         if docs.size == 0:
             return docs, scores
+        span = self.max_dldiv - self.min_dldiv
+        if span <= 0:
+            return docs, scores.copy()
         # per-doc dldiv (rounded values; any matching rec gives the same)
         dldiv_arr = np.full(docs.size, np.nan)
         for rec in recs.values():
@@ -302,26 +363,55 @@ class BM25PositionalScorer(BM25Scorer):
             pos = np.searchsorted(docs, rec.doc_ids)
             need = np.isnan(dldiv_arr[pos])
             dldiv_arr[pos[need]] = rec._dldiv[need]
-        boosts = positional_boost_all(query_tokens, docs, recs)
-        span = self.max_dldiv - self.min_dldiv
+        norm = np.log2((dldiv_arr - self.min_dldiv) / span + 1)
+
+        eval_docs = docs
+        if top_n is not None and docs.size > 4 * top_n:
+            ub_total = boost_total_upper_bound(query_tokens, docs, recs)
+            boost_ub = np.zeros(docs.size)
+            m = (ub_total > 1) & (norm > 0)
+            boost_ub[m] = np.log10(ub_total[m])
+            score_ub = scores.copy()
+            score_ub[m] += BM25_BOOST_WEIGHT * boost_ub[m] / norm[m]
+            # θ = top_n-th best LOWER bound (bm25 itself: boost ≥ 0);
+            # keep every doc whose upper bound could reach or tie it
+            kth = -np.partition(-scores, top_n - 1)[top_n - 1]
+            cand = score_ub >= kth
+            eval_docs = docs[cand]
+        boosts_sub = positional_boost_all(query_tokens, eval_docs, recs)
+        boosts = np.zeros(docs.size)
+        if eval_docs.size:
+            boosts[np.searchsorted(docs, eval_docs)] = boosts_sub
         out = scores.copy()
-        if span > 0:
-            norm = np.log2((dldiv_arr - self.min_dldiv) / span + 1)
-            apply = (boosts > 0) & (norm > 0)
-            out[apply] = scores[apply] + BM25_BOOST_WEIGHT * boosts[apply] \
-                / norm[apply]
+        apply = (boosts > 0) & (norm > 0)
+        out[apply] = scores[apply] + BM25_BOOST_WEIGHT * boosts[apply] \
+            / norm[apply]
         return docs, out
 
 
 class TfIdfPositionalScorer(TfIdfScorer):
     """TF-IDF + flat-weighted proximity boost — reference
-    ``td_idf_positional.py:94-130``."""
+    ``td_idf_positional.py:94-130``. Same score-preserving ``top_n``
+    pruning as the BM25 variant (flat weight → norm-free bound)."""
 
-    def score(self, query_tokens: list[str], recs: dict) -> tuple:
+    def score(self, query_tokens: list[str], recs: dict,
+              top_n: int | None = None) -> tuple:
         docs, scores = super().score(query_tokens, recs)
         if docs.size == 0:
             return docs, scores
-        boosts = positional_boost_all(query_tokens, docs, recs)
+        eval_docs = docs
+        if top_n is not None and docs.size > 4 * top_n:
+            ub_total = boost_total_upper_bound(query_tokens, docs, recs)
+            boost_ub = np.where(ub_total > 1, np.log10(
+                np.maximum(ub_total, 1e-300)), 0.0)
+            score_ub = scores + TFIDF_BOOST_WEIGHT * boost_ub
+            kth = -np.partition(-scores, top_n - 1)[top_n - 1]
+            cand = score_ub >= kth
+            eval_docs = docs[cand]
+        boosts_sub = positional_boost_all(query_tokens, eval_docs, recs)
+        boosts = np.zeros(docs.size)
+        if eval_docs.size:
+            boosts[np.searchsorted(docs, eval_docs)] = boosts_sub
         out = scores.copy()
         apply = boosts > 0
         out[apply] = scores[apply] + TFIDF_BOOST_WEIGHT * boosts[apply]

@@ -179,20 +179,32 @@ def decode_positions(buf: bytes, n_docs: int) -> list:
     return out
 
 
-def decode_positions_ragged(buf: bytes, n_docs: int):
+def decode_positions_ragged(buf: bytes, n_docs: int,
+                            lengths: np.ndarray | None = None):
     """→ (flat_abs_positions int64, lengths int64, starts int64) without
     building per-doc Python lists (the query hot path for positional
-    scoring; ~10^5 docs per posting list)."""
+    scoring; ~10^5 docs per posting list).
+
+    For positional postings the per-doc position count IS the stored tf
+    (extract.py M7) — pass it as ``lengths`` and the whole decode is
+    vectorized (the [n] headers are validated, not walked); without it,
+    a per-doc loop recovers the counts from the headers."""
     vals = vb_decode(buf)
     if n_docs == 0:
         z = np.empty(0, np.int64)
         return z, z.copy(), z.copy()
-    lengths = np.empty(n_docs, np.int64)
-    idx = 0
-    for d in range(n_docs):  # n_docs iterations — count slots only
-        lengths[d] = vals[idx]
-        idx += 1 + int(vals[idx])
-    count_slots = np.concatenate(([0], np.cumsum(lengths + 1)[:-1]))
+    if lengths is not None:
+        lengths = np.asarray(lengths, dtype=np.int64)
+        count_slots = np.concatenate(([0], np.cumsum(lengths + 1)[:-1]))
+        if not np.array_equal(vals[count_slots], lengths):
+            raise ValueError("positions payload does not match tfs")
+    else:
+        lengths = np.empty(n_docs, np.int64)
+        idx = 0
+        for d in range(n_docs):  # n_docs iterations — count slots only
+            lengths[d] = vals[idx]
+            idx += 1 + int(vals[idx])
+        count_slots = np.concatenate(([0], np.cumsum(lengths + 1)[:-1]))
     mask = np.ones(vals.size, bool)
     mask[count_slots] = False
     gaps = vals[mask]

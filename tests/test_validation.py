@@ -120,3 +120,34 @@ def test_consolidated_reduce_equivalence(ray_session, tmp_path):
         ra = Searcher(str(tmp_path / "direct")).search(q, 5)
         rb = Searcher(str(tmp_path / "cons")).search(q, 5)
         assert ra.equals(rb)
+
+
+def test_positional_boost_pruning_is_score_preserving(ray_session,
+                                                      tmp_path_factory):
+    """Pruned boost evaluation (top_n set) must return bit-identical
+    top-k to the exhaustive evaluation (top_n=None) — same contract as
+    WAND."""
+    import numpy as np
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.query.scorers import top_k
+
+    d = tmp_path_factory.mktemp("posprune")
+    idx = str(d / "idx")
+    build_index(
+        "/root/testdata/sf0.001/documents.parquet", idx,
+        IndexConfig(num_shards=2, posting_type=PostingType.POSITIONAL,
+                    ranker=RankerType.BM25_OPTIMIZED,
+                    min_token_length=2, use_stop_words=False, language=None),
+        id_column="doc_id", text_column="text", url_column=None,
+    )
+    s = Searcher(idx)
+    for q in ("fast spark join merge", "query vector stream window"):
+        tokens = s.tokenizer.tokenize(q)
+        recs = s.reader.fetch(tokens)
+        d_full, s_full = s.scorer.score(tokens, recs, top_n=None)
+        df10, sf10 = top_k(d_full, s_full, 10)
+        dp10, sp10 = s.search_tokens(tokens, 10)  # pruned path
+        np.testing.assert_array_equal(df10, dp10)
+        np.testing.assert_array_equal(sf10, sp10)
