@@ -41,6 +41,54 @@ def ndcg(retrieved: list[int], relevance_of: dict[int, int]) -> float:
     return dcg / idcg if idcg > 0 else 0.0
 
 
+def load_relevance_txt(path: str) -> list[tuple[str, dict[str, int]]]:
+    """Parse the reference's golden-relevance text format
+    (``queries.relevance.txt``; reference ``efficiency.py:28-39``):
+    ``Q:<query text>`` starts a block, followed by ``<external_id>\\t<rel>``
+    lines with rel ∈ {1,2,3}. → ordered [(query, {external_id: rel})]."""
+    out: list[tuple[str, dict[str, int]]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            if line.startswith("Q:"):
+                out.append((line[2:], {}))
+            else:
+                doc, rel = line.split("\t")
+                out[-1][1][doc] = int(rel)
+    return out
+
+
+def evaluate_relevance_file(searcher, path: str, n: int = 10) -> dict:
+    """The reference's end-to-end golden evaluation loop
+    (``efficiency.py:94-147``): for each ``Q:`` block run the searcher,
+    match on EXTERNAL ids (urls), aggregate P/R/F1/NDCG + throughput."""
+    parsed = load_relevance_txt(path)
+    per_query = []
+    times = []
+    for qid, (text, rels) in enumerate(parsed):
+        t0 = time.perf_counter()
+        res = searcher.search(text, n, with_urls=True)
+        times.append(time.perf_counter() - t0)
+        retrieved = res["url"].to_pylist()
+        p, r, f = precision_recall_f1(retrieved, set(rels))
+        per_query.append(
+            {"query_id": qid, "query": text, "precision": p, "recall": r,
+             "f1": f, "ndcg": ndcg(retrieved, rels)}
+        )
+    m = len(per_query) or 1
+    total_time = sum(times) or 1e-9
+    return {
+        "per_query": per_query,
+        "precision": sum(q["precision"] for q in per_query) / m,
+        "recall": sum(q["recall"] for q in per_query) / m,
+        "f1": sum(q["f1"] for q in per_query) / m,
+        "ndcg": sum(q["ndcg"] for q in per_query) / m,
+        "queries_per_sec": len(per_query) / total_time,
+    }
+
+
 def evaluate(searcher, queries: dict[int, str], qrels: pa.Table,
              n: int = 10) -> dict:
     """Run ``queries`` {query_id: text} against ``searcher``, score vs
