@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from searchengine_ray.config import IndexConfig, RankerType
+from searchengine_ray.config import IndexConfig, PostingType, RankerType
 from searchengine_ray.functions.smart import bm25_idf, calculate_idf
 from searchengine_ray.state.codec import (
     BLOCK,
@@ -504,8 +504,16 @@ class ShardWriter:
             delta[1:] -= flat_docs[:-1]
         delta[seg_starts] = flat_docs[seg_starts]
         docs_enc_l = vb_encode_segmented(delta, seg_off)
-        tfs_enc_l = vb_encode_segmented(flat_tfs, seg_off)
-        dls_enc_l = vb_encode_segmented(flat_dls, seg_off)
+        if self.cfg.posting_type == PostingType.BOOLEAN:
+            # boolean at-rest format: doc ids only — the reference's
+            # boolean index is a distinct, smaller layout with no
+            # tf/weight payload (boolean_posting_list.py:38-39,
+            # README.md:222-228); decode restores tf=1
+            tfs_enc_l = [b""] * n_terms
+            dls_enc_l = [b""] * n_terms
+        else:
+            tfs_enc_l = vb_encode_segmented(flat_tfs, seg_off)
+            dls_enc_l = vb_encode_segmented(flat_dls, seg_off)
 
         # skip pointers + block-max tf (vectorized single-block fast path)
         single = seg_sizes <= BLOCK

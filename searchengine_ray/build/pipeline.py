@@ -171,6 +171,14 @@ def build_index(
     import ray.data
 
     cfg = cfg or IndexConfig()
+    if cfg.posting_type == PostingType.BOOLEAN and \
+            cfg.ranker != RankerType.RAW:
+        raise ValueError(
+            "boolean posting lists store doc ids only (no tf/dl payload) "
+            "and cannot serve a scored ranker; build with ranker=RAW "
+            "(the reference pairs its boolean index with the unscored "
+            "boolean searcher)"
+        )
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)

@@ -100,6 +100,10 @@ def _decode_row(row: dict) -> PostingsRec:
     doc_ids, tfs, dls = decode_postings(
         row["docs_enc"], row["tfs_enc"], row["dls_enc"]
     )
+    if tfs.size == 0 and doc_ids.size:
+        # boolean at-rest format: docs only (tf ≡ 1, dl unused)
+        tfs = np.ones(doc_ids.size, np.int64)
+        dls = np.zeros(doc_ids.size, np.int64)
     weights = None
     if row["weights"]:
         weights = np.asarray(row["weights"], dtype=np.float64)

@@ -151,3 +151,43 @@ def test_positional_boost_pruning_is_score_preserving(ray_session,
         dp10, sp10 = s.search_tokens(tokens, 10)  # pruned path
         np.testing.assert_array_equal(df10, dp10)
         np.testing.assert_array_equal(sf10, sp10)
+
+
+def test_boolean_at_rest_format(ray_session, tmp_path):
+    """Boolean indexes use a genuinely smaller at-rest layout (doc ids
+    only — reference boolean_posting_list.py:38-39) and serve the same
+    doc sets as a frequency index queried with the RAW ranker."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import unit_pages
+
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(unit_pages(), src)
+
+    with pytest.raises(ValueError, match="boolean"):
+        build_index(src, str(tmp_path / "bad"),
+                    IndexConfig(posting_type=PostingType.BOOLEAN,
+                                num_shards=2))
+
+    cfg_b = IndexConfig(posting_type=PostingType.BOOLEAN,
+                        ranker=RankerType.RAW, num_shards=2)
+    cfg_f = IndexConfig(ranker=RankerType.RAW, num_shards=2)
+    mb = build_index(src, str(tmp_path / "bool"), cfg_b)
+    mf = build_index(src, str(tmp_path / "freq"), cfg_f)
+
+    size_b = sum(os.path.getsize(s["file"]) for s in mb["shards"])
+    size_f = sum(os.path.getsize(s["file"]) for s in mf["shards"])
+    assert size_b < size_f  # the boolean layout is smaller at rest
+
+    sb = Searcher(str(tmp_path / "bool"))
+    sf = Searcher(str(tmp_path / "freq"))
+    for q in ("game player", "games"):
+        tokens = sb.tokenizer.tokenize(q)
+        db, _ = sb.search_tokens(tokens, 100)
+        df, _ = sf.search_tokens(tokens, 100)
+        assert sorted(set(db.tolist())) == sorted(set(df.tolist()))
+        assert len(db) > 0
