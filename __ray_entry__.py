@@ -43,14 +43,14 @@ TOPK = 10
 _STOP_SQL_LIST = "['the','and','of','to','in','is','it','on','for','as']"
 
 
-def _simple_cfg():
+def _simple_cfg(**kw):
     """Index config whose tokenizer is exactly the SQL-parity simple
     tokenization (no stemming / stop words, min length 2)."""
     from searchengine_ray.config import IndexConfig
 
     return IndexConfig(
         min_token_length=2, use_stop_words=False, language=None,
-        num_shards=4, k=K1, b=B,
+        num_shards=4, k=K1, b=B, **kw,
     )
 
 
@@ -353,6 +353,32 @@ def _q_search_bm25_positional(sf_dir: str):
     return _search_suite(idx)
 
 
+def _q_search_boolean(sf_dir: str):
+    """Boolean retrieval over the boolean at-rest index: every doc of
+    every matched query term, term order then ascending doc order,
+    truncated unsorted (reference Ranker.order semantics) — per query."""
+    from searchengine_ray.config import PostingType, RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(
+        sf_dir,
+        _simple_cfg(posting_type=PostingType.BOOLEAN,
+                    ranker=RankerType.RAW),
+    )
+    s = Searcher(idx)
+    qids, ords, docs = [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        d, _ = s.search_tokens(s.tokenizer.tokenize(q), 200)
+        qids.extend([qid] * d.size)
+        ords.extend(range(d.size))
+        docs.extend(d.tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "ord": pa.array(ords, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def _q_minhash_pairs(sf_dir: str):
     from searchengine_ray.pipelines.dedup import minhash_candidates
 
@@ -462,7 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_user": _q_events_by_user,
         "events_hourly": _q_events_hourly,
         "ann_cosine_topk": _q_ann_cosine,
-        # rows-only
+        "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
@@ -641,4 +667,5 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_ann_topk"] = oracles.sql_ivf_topk(
         [0, 1, 2], k=5, n_centroids=8, nprobe=4
     )
+    out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
     return out

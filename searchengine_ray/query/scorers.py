@@ -420,13 +420,16 @@ class TfIdfPositionalScorer(TfIdfScorer):
 
 class RawScorer:
     """Reference base ``Ranker.order`` (ranker.py:58-65): every doc of
-    every matched term with score 0 (duplicates preserved)."""
+    every matched term with score 0 (duplicates preserved). Terms are
+    visited in unique-query order — deterministic regardless of the
+    posting cache's insertion order."""
 
     def __init__(self, cfg: IndexConfig, stats: dict):
         pass
 
     def score(self, query_tokens: list[str], recs: dict) -> tuple:
-        chunks = [rec.doc_ids for rec in recs.values() if rec is not None]
+        chunks = [recs[t].doc_ids for t in _unique_in_order(query_tokens)
+                  if recs.get(t) is not None]
         if not chunks:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs = np.concatenate(chunks)

@@ -286,16 +286,173 @@ def stem(word: str) -> str:
 
 class CachedStemmer:
     """Memoizing stemmer — mirrors the reference's per-process
-    ``transforms`` cache (reference ``tokenizer.py:30,63-68``, ST1)."""
+    ``transforms`` cache (reference ``tokenizer.py:30,63-68``, ST1).
+    ``algorithm`` selects from the STEMMERS registry (default Porter2)."""
 
-    __slots__ = ("_cache",)
+    __slots__ = ("_cache", "_fn")
 
-    def __init__(self) -> None:
+    def __init__(self, algorithm: str = "english") -> None:
+        from searchengine_ray.text import stemmer as _mod
+
         self._cache: dict[str, str] = {}
+        self._fn = _mod.STEMMERS[algorithm]
 
     def stem(self, word: str) -> str:
         cached = self._cache.get(word)
         if cached is None:
-            cached = stem(word)
+            cached = self._fn(word)
             self._cache[word] = cached
         return cached
+
+
+# -- original Porter (1980) ------------------------------------------------
+# Clean-room implementation of M.F. Porter, "An algorithm for suffix
+# stripping", Program 14(3) 1980 — the 'porter' language option of the
+# Snowball family (the reference's SnowballStemmer accepts it,
+# reference tokenizer.py:24-33). This is the PAPER's algorithm; nltk's
+# default adds its own extensions, which are intentionally not copied.
+
+_P_VOWELS = "aeiou"
+
+
+def _p_is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _P_VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _p_is_cons(word, i - 1)
+    return True
+
+
+def _p_measure(stem_: str) -> int:
+    """m in [C](VC)^m[V] over the consonant/vowel run structure."""
+    forms = ""
+    for i in range(len(stem_)):
+        c = _p_is_cons(stem_, i)
+        if not forms or (forms[-1] == "c") != c:
+            forms += "c" if c else "v"
+    return forms.count("vc")
+
+
+def _p_has_vowel(stem_: str) -> bool:
+    return any(not _p_is_cons(stem_, i) for i in range(len(stem_)))
+
+
+def _p_double_cons(stem_: str) -> bool:
+    return (len(stem_) >= 2 and stem_[-1] == stem_[-2]
+            and _p_is_cons(stem_, len(stem_) - 1))
+
+
+def _p_cvc(stem_: str) -> bool:
+    """*o: ends cvc where the final c is not w, x or y."""
+    if len(stem_) < 3:
+        return False
+    return (
+        _p_is_cons(stem_, len(stem_) - 3)
+        and not _p_is_cons(stem_, len(stem_) - 2)
+        and _p_is_cons(stem_, len(stem_) - 1)
+        and stem_[-1] not in "wxy"
+    )
+
+
+_P_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+    ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+    ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_P_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_P_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Original Porter algorithm, steps 1a–5b, longest-match per step."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _p_has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _p_has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _p_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _p_measure(w) == 1 and _p_cvc(w):
+            w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2 (m > 0)
+    for suf, rep in _P_STEP2:
+        if w.endswith(suf):
+            st = w[: len(w) - len(suf)]
+            if _p_measure(st) > 0:
+                w = st + rep
+            break
+
+    # Step 3 (m > 0)
+    for suf, rep in _P_STEP3:
+        if w.endswith(suf):
+            st = w[: len(w) - len(suf)]
+            if _p_measure(st) > 0:
+                w = st + rep
+            break
+
+    # Step 4 (m > 1; 'ion' additionally needs stem ending s or t)
+    for suf in _P_STEP4:
+        if w.endswith(suf):
+            st = w[: len(w) - len(suf)]
+            if _p_measure(st) > 1 and (
+                suf != "ion" or (st and st[-1] in "st")
+            ):
+                w = st
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        st = w[:-1]
+        m = _p_measure(st)
+        if m > 1 or (m == 1 and not _p_cvc(st)):
+            w = st
+    # Step 5b
+    if _p_measure(w) > 1 and _p_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+STEMMERS = {
+    "english": stem,       # Porter2 (Snowball English)
+    "porter": porter_stem,  # original Porter (1980)
+}

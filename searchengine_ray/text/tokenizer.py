@@ -65,12 +65,14 @@ def load_stop_words(path: str | Path | None) -> frozenset[str] | None:
         return frozenset(f.read().split("\n"))
 
 
-# Languages with an implemented Snowball stemmer. The reference accepts
-# any language name and delegates to ``SnowballStemmer(language)``
-# (reference ``tokenizer.py:24-33,59-70``); only the English (Porter2)
-# algorithm is implemented here, so any other language FAILS LOUDLY
-# instead of silently stemming with the wrong algorithm.
-SUPPORTED_LANGUAGES = frozenset({"english"})
+# Languages with an implemented stemmer. The reference accepts any
+# language name and delegates to ``SnowballStemmer(language)``
+# (reference ``tokenizer.py:24-33,59-70``); implemented here:
+# 'english' (Snowball Porter2) and 'porter' (the original 1980 Porter
+# algorithm — also a SnowballStemmer language option). Any other
+# language FAILS LOUDLY instead of silently stemming with the wrong
+# algorithm.
+SUPPORTED_LANGUAGES = frozenset({"english", "porter"})
 
 
 class Tokenizer:
@@ -94,7 +96,8 @@ class Tokenizer:
         self.min_token_length = min_token_length
         self.stop_words = stop_words
         self.language = language
-        self._stemmer = CachedStemmer() if language is not None else None
+        self._stemmer = CachedStemmer(language) if language is not None \
+            else None
 
     def tokenize(self, text: str) -> list[str]:
         lowered = text.translate(_PUNCT_TABLE).lower()

@@ -185,3 +185,52 @@ def test_ascii_punct_only():
     assert t.tokenize("it's") == ["it", "s"]
     assert t.tokenize("it’s") == ["it’s"]
     assert all(c in string.punctuation for c in "'-_")
+
+
+# Published examples from Porter 1980, "An algorithm for suffix
+# stripping" (Program 14(3)) — the original-Porter vocabulary pin.
+PORTER1_PAIRS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+    "plastered": "plaster", "bled": "bled", "motoring": "motor",
+    "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+    "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+    "failing": "fail", "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl", "triplicate": "triplic",
+    "formative": "form", "formalize": "formal", "electriciti": "electr",
+    "electrical": "electr", "hopeful": "hope", "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+    "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter1_vocabulary():
+    from searchengine_ray.text.stemmer import porter_stem
+
+    bad = {w: (porter_stem(w), e) for w, e in PORTER1_PAIRS.items()
+           if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_porter_language_tokenizer():
+    from searchengine_ray.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(min_token_length=3, language="porter")
+    assert tok.tokenize("the ponies were motoring happily") == \
+        ["the", "poni", "were", "motor", "happili"]

@@ -16,8 +16,9 @@ def test_unsupported_language_raises():
     with pytest.raises(ValueError, match="unsupported stemmer language"):
         Tokenizer(language="french")
     with pytest.raises(ValueError, match="unsupported stemmer language"):
-        Tokenizer(language="porter")
-    Tokenizer(language="english")  # ok
+        Tokenizer(language="klingon")
+    Tokenizer(language="english")  # ok (Porter2)
+    Tokenizer(language="porter")   # ok (original Porter 1980)
     Tokenizer(language=None)       # ok (no stemming)
 
 
@@ -79,7 +80,7 @@ def test_manifest_records_supported_languages(small_index):
 
     _, idx = small_index
     m = load_manifest(idx)
-    assert m["tokenizer"]["supported_languages"] == ["english"]
+    assert m["tokenizer"]["supported_languages"] == ["english", "porter"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):
