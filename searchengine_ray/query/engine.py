@@ -224,15 +224,19 @@ class QueryActor:
         return pa.table(cols)
 
 
-def search_dataset(queries_ds, index_dir: str, n: int = 10, concurrency: int = 2,
-                   **kw):
+def search_dataset(queries_ds, index_dir: str, n: int = 10,
+                   concurrency=None, batch_size: int = 8, **kw):
     """Distributed query serving: Dataset[(query_id, query)] → Dataset of
-    top-k rows via an actor pool."""
+    top-k rows via an actor pool. Small batches keep every actor busy
+    (a batch is the unit of assignment); ``concurrency=None`` →
+    autoscale to the node."""
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
     return queries_ds.map_batches(
         QueryActor,
         fn_constructor_kwargs=dict(index_dir=index_dir, n=n, **kw),
         batch_format="pyarrow",
-        batch_size=64,
-        concurrency=concurrency,
+        batch_size=batch_size,
+        concurrency=concurrency or autoscale_concurrency(),
         num_cpus=1,
     )
