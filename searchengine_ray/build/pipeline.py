@@ -161,7 +161,8 @@ def build_index(
     url_column: str | None = "url",
     overwrite: bool = False,
     consolidate_above: int = 512,
-    consolidate_factor: int = 32,
+    consolidate_factor: int | None = None,
+    target_rows_per_fragment: int = 250_000,
 ) -> dict:
     """Build a full index under ``out_dir``; returns the manifest dict.
 
@@ -203,7 +204,7 @@ def build_index(
                         pass
 
     # -- 1. plan -----------------------------------------------------------
-    frags = plan_fragments(input_paths)
+    frags = plan_fragments(input_paths, target_rows_per_fragment)
     n_input_rows = sum(f.num_rows for f in frags)
 
     import ray as _ray
@@ -323,7 +324,10 @@ def build_index(
         from searchengine_ray.build.merge import consolidate_spill_files
 
         files_sorted = sorted(r["file"] for r in spill_stats)
-        fac = consolidate_factor
+        # √n groups of √n files each: one wave suffices at any scale
+        # (10^5 spill files → ~316 consolidated files, fan-in ~316)
+        fac = consolidate_factor or max(8, min(256, int(
+            n_spill_files ** 0.5 + 0.999)))
         groups = [files_sorted[i:i + fac]
                   for i in range(0, len(files_sorted), fac)]
 
