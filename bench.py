@@ -210,8 +210,12 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     levels = os.environ.get("GRAFT_SCALING_LEVELS", "2,8")
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     lo, hi = (int(x) for x in levels.split(","))
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-N per level: single runs swing ±10% on a shared box (page
+    # cache, background daemons); min build time is the stable estimator
+    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["build_sec"])
+    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["build_sec"])
     # scaling on the distributed build phase (query latency is single-
     # stream serving and does not scale with cores)
     t_lo, t_hi = r_lo["build_sec"], r_hi["build_sec"]

@@ -115,12 +115,14 @@ class TokenizeStage:
             flat = flat.filter(keep2)
             parents = parents.filter(keep2)
         if self._stem is not None and len(flat):
-            uniq = pc.unique(flat)
+            denc = pc.dictionary_encode(flat)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
             stem = self._stem
-            stemmed_uniq = pa.array([stem(u) for u in uniq.to_pylist()],
-                                    pa.string())
-            idx = pc.index_in(flat, value_set=uniq)
-            flat = stemmed_uniq.take(idx)
+            stemmed_uniq = pa.array(
+                [stem(u) for u in denc.dictionary.to_pylist()], pa.string()
+            )
+            flat = stemmed_uniq.take(denc.indices)
         return flat, np.asarray(parents, dtype=np.int64)
 
     def _doc_major_vector(self, n_docs: int, flat: pa.Array,
@@ -147,10 +149,18 @@ class TokenizeStage:
         # token position within its doc (parents nondecreasing)
         doc_first = np.searchsorted(parents, np.arange(n_docs))
         pos_in_doc = (np.arange(total) - doc_first[parents]).astype(np.int32)
-        # integer codes for fast lexsort
-        uniq = pc.unique(flat)
-        codes = np.asarray(pc.index_in(flat, value_set=uniq), dtype=np.int64)
-        order = np.lexsort((pos_in_doc, codes, parents))
+        # integer codes in ONE hash pass (dictionary order = first
+        # occurrence = pc.unique order)
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq = denc.dictionary
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        # single-key STABLE sort == lexsort((pos, codes, parents)): the
+        # stream is already pos-ascending within each doc, so stability
+        # supplies the tertiary key; one composite int64 key halves the
+        # sort's memory traffic (the 8→32 scaling limiter)
+        order = np.argsort(parents * len(uniq) + codes, kind="stable")
         p_s, c_s, pos_s = parents[order], codes[order], pos_in_doc[order]
         change = np.empty(total, dtype=bool)
         change[0] = True

@@ -92,12 +92,14 @@ def local_postings_batch(
     if n == 0:
         return _empty_local_table("tf_weight" in cols, "positions" in cols)
 
-    # group by term via integer codes + stable argsort (strings only
-    # touched once for the per-batch distinct set); stability keeps docs
-    # ascending within each term (input is doc-major ascending)
-    uniq_terms = pc.unique(flat_terms)
-    codes = np.asarray(pc.index_in(flat_terms, value_set=uniq_terms),
-                       dtype=np.int64)
+    # group by term via integer codes + stable argsort (strings hashed
+    # ONCE via dictionary_encode); stability keeps docs ascending within
+    # each term (input is doc-major ascending)
+    denc = pc.dictionary_encode(flat_terms)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    uniq_terms = denc.dictionary
+    codes = np.asarray(denc.indices, dtype=np.int64)
     order = np.argsort(codes, kind="stable")
     order_pa = pa.array(order, pa.int64())
     c_s = codes[order]
