@@ -30,7 +30,8 @@ def _add_index_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min-token-length", type=int, default=3)
     p.add_argument("--no-stop-words", action="store_true")
     p.add_argument("--language", default="english",
-                   help="'english' or 'none' (no stemming)")
+                   help="'english' (Porter2), 'porter' (original 1980 "
+                        "Porter) or 'none' (no stemming)")
     p.add_argument("--k", type=float, default=1.2)
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--schema", default="lnc.ltc")
@@ -111,21 +112,74 @@ def cmd_search(args) -> int:
 
 def cmd_eval(args) -> int:
     """Reference efficiency.py role: metrics over a qrels parquet
-    (query_id, doc_id, relevance) + a queries parquet (query_id, query)."""
+    (query_id, doc_id, relevance) + a queries parquet (query_id, query),
+    or the reference's ``queries.relevance.txt`` format directly
+    (``--qrels-txt``)."""
     import pyarrow.parquet as pq
 
-    from searchengine_ray.eval.metrics import evaluate
+    from searchengine_ray.eval.metrics import evaluate, evaluate_relevance_file
     from searchengine_ray.query.engine import Searcher
 
     s = Searcher(args.search_index)
-    queries = {
-        int(r["query_id"]): r["query"]
-        for r in pq.read_table(args.queries).to_pylist()
-    }
-    qrels = pq.read_table(args.qrels)
-    out = evaluate(s, queries, qrels, n=args.n)
+    if args.qrels_txt:
+        out = evaluate_relevance_file(s, args.qrels_txt, n=args.n)
+    else:
+        queries = {
+            int(r["query_id"]): r["query"]
+            for r in pq.read_table(args.queries).to_pylist()
+        }
+        qrels = pq.read_table(args.qrels)
+        out = evaluate(s, queries, qrels, n=args.n)
     out.pop("per_query", None)
     print(json.dumps(out))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Corpus dedup: exact (md5 groups), minhash (LSH candidate pairs)
+    or simhash (Hamming-near pairs) over a documents parquet → parquet
+    out."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import (
+        exact_dedup,
+        minhash_candidates,
+        simhash_pairs,
+    )
+
+    ds = ray.data.read_parquet(args.documents,
+                               columns=[args.id_column, args.text_column])
+    if args.id_column != "doc_id" or args.text_column != "text":
+        ds = ds.map_batches(
+            lambda b: b.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+    out = {"exact": exact_dedup, "minhash": minhash_candidates,
+           "simhash": simhash_pairs}[args.method](ds)
+    out.write_parquet(args.output)
+    print(json.dumps({"method": args.method, "rows": out.count(),
+                      "output": args.output}))
+    return 0
+
+
+def cmd_ann(args) -> int:
+    """Similarity search over an embeddings parquet: exact cosine or
+    the persisted-IVF approximate path."""
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import cosine_topk, ivf_topk
+
+    ds = ray.data.read_parquet(args.embeddings)
+    qids = [int(x) for x in args.query_ids.split(",")]
+    if args.method == "cosine":
+        t = cosine_topk(ds, query_ids=qids, k=args.k)
+    else:
+        t = ivf_topk(ds, query_ids=qids, k=args.k,
+                     n_centroids=args.n_centroids, nprobe=args.nprobe,
+                     index_dir=args.ivf_index)
+    for row in t.to_pylist():
+        print(f"{row['query_id']:8d}  {row['rank']:3d}  "
+              f"{row['vec_id']:8d}  {row['sim']:.6f}")
     return 0
 
 
@@ -144,14 +198,43 @@ def main(argv=None) -> int:
     ps.add_argument("--wand", action="store_true")
     pe = sub.add_parser("eval")
     pe.add_argument("--search-index", required=True)
-    pe.add_argument("--queries", required=True)
-    pe.add_argument("--qrels", required=True)
+    pe.add_argument("--queries", default=None)
+    pe.add_argument("--qrels", default=None)
+    pe.add_argument("--qrels-txt", default=None,
+                    help="reference queries.relevance.txt format")
     pe.add_argument("--n", type=int, default=10)
+    pd = sub.add_parser("dedup")
+    pd.add_argument("--documents", nargs="+", required=True)
+    pd.add_argument("--output", required=True)
+    pd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash"])
+    pd.add_argument("--id-column", default="doc_id")
+    pd.add_argument("--text-column", default="text")
+    pa_ = sub.add_parser("ann")
+    pa_.add_argument("--embeddings", nargs="+", required=True)
+    pa_.add_argument("--query-ids", required=True,
+                     help="comma-separated vec_ids")
+    pa_.add_argument("--k", type=int, default=5)
+    pa_.add_argument("--method", default="cosine",
+                     choices=["cosine", "ivf"])
+    pa_.add_argument("--n-centroids", type=int, default=16)
+    pa_.add_argument("--nprobe", type=int, default=4)
+    pa_.add_argument("--ivf-index", default=None)
     args = ap.parse_args(argv)
+    if args.cmd in ("dedup", "ann"):  # only the Dataset pipelines need Ray
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
     if args.cmd == "index":
         return cmd_index(args)
     if args.cmd == "eval":
         return cmd_eval(args)
+    if args.cmd == "dedup":
+        return cmd_dedup(args)
+    if args.cmd == "ann":
+        return cmd_ann(args)
     return cmd_search(args)
 
 
