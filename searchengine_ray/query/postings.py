@@ -48,6 +48,59 @@ class RaggedPositions:
             yield self[i]
 
 
+class LazySaltedPositions:
+    """Positions of a salted (merged) term WITHOUT the up-front gather:
+    per-salt ragged arrays plus each merged row's (salt, within-salt
+    row). ``slices(rows)`` gathers only the requested rows' positions —
+    with boost pruning, the query path touches a few hundred docs of a
+    ~10^5-doc posting list, so the full merge (the round-1 cold-query
+    cost) never happens. ``materialize()`` still builds the full merged
+    view for the reference-shaped per-doc API."""
+
+    __slots__ = ("salt_rags", "src_salt", "src_idx", "lengths")
+
+    def __init__(self, salt_rags, src_salt, src_idx, lengths):
+        self.salt_rags = salt_rags     # list of (flat, len, start) per salt
+        self.src_salt = src_salt       # (n,) int8/int32: salt of merged row
+        self.src_idx = src_idx         # (n,) int64: row within its salt
+        self.lengths = lengths         # (n,) merged per-doc counts (== tfs)
+
+    def slices(self, rows: np.ndarray):
+        """→ (flat_sel, len_sel, start_sel) for the given merged-row
+        indices, in input order."""
+        rows = np.asarray(rows, dtype=np.int64)
+        len_sel = self.lengths[rows]
+        start_sel = np.concatenate(([0], np.cumsum(len_sel)[:-1]))
+        total = int(len_sel.sum())
+        flat_sel = np.empty(total, np.int64)
+        salts = self.src_salt[rows]
+        for r in np.unique(salts):
+            m = np.flatnonzero(salts == r)
+            f, ln, st = self.salt_rags[r]
+            src = self.src_idx[rows[m]]
+            lens_r = ln[src]
+            tot_r = int(lens_r.sum())
+            if tot_r == 0:
+                continue
+            # segmented gather from the salt's flat array
+            out_pos = np.repeat(start_sel[m], lens_r) + (
+                np.arange(tot_r)
+                - np.repeat(np.concatenate(([0], np.cumsum(lens_r)[:-1])),
+                            lens_r)
+            )
+            src_pos = np.repeat(st[src], lens_r) + (
+                np.arange(tot_r)
+                - np.repeat(np.concatenate(([0], np.cumsum(lens_r)[:-1])),
+                            lens_r)
+            )
+            flat_sel[out_pos] = f[src_pos]
+        return flat_sel, len_sel, start_sel
+
+    def materialize(self) -> "RaggedPositions":
+        flat, lengths, starts = self.slices(np.arange(self.lengths.size))
+        return RaggedPositions(flat, lengths, starts)
+
+
 @dataclass
 class PostingsRec:
     """One term's decoded posting list (doc_ids ascending)."""
@@ -77,6 +130,8 @@ class PostingsRec:
         if self.positions is None:
             return []
         if self._pos_of is None:
+            if isinstance(self.positions, LazySaltedPositions):
+                self.positions = self.positions.materialize()
             self._pos_of = dict(zip(self.doc_ids.tolist(), self.positions))
         return self._pos_of.get(int(doc_id), [])
 
@@ -85,7 +140,9 @@ class PostingsRec:
         ragged positions arrays for vectorized proximity scoring."""
         if self.positions is None:
             return None
-        if not isinstance(self.positions, RaggedPositions):
+        if isinstance(self.positions, LazySaltedPositions):
+            self.positions = self.positions.materialize()
+        elif not isinstance(self.positions, RaggedPositions):
             lengths = np.asarray([len(p) for p in self.positions], np.int64)
             flat = (np.concatenate([np.asarray(p, np.int64)
                                     for p in self.positions])
@@ -94,6 +151,22 @@ class PostingsRec:
             self.positions = RaggedPositions(flat, lengths, starts)
         p = self.positions
         return p.flat, p.lengths, p.starts
+
+    def positions_slices(self, rows: np.ndarray):
+        """→ (flat_sel, len_sel, start_sel) for a SUBSET of posting rows
+        — the boost path's accessor; salted terms gather lazily instead
+        of merging the whole position payload."""
+        if self.positions is None:
+            return None
+        if isinstance(self.positions, LazySaltedPositions):
+            return self.positions.slices(rows)
+        f, ln, st = self.positions_ragged()
+        rows = np.asarray(rows, dtype=np.int64)
+        len_sel = ln[rows]
+        start_sel = np.concatenate(([0], np.cumsum(len_sel)[:-1]))
+        total = int(len_sel.sum())
+        idx = np.repeat(st[rows] - start_sel, len_sel) + np.arange(total)
+        return f[idx], len_sel, start_sel
 
 
 def _decode_row(row: dict) -> PostingsRec:
@@ -136,16 +209,21 @@ def _merge_salted(recs: list[PostingsRec]) -> PostingsRec:
         weights = np.concatenate([r.weights for r in recs])[order]
     positions = None
     if recs[0].positions is not None:
+        # NO up-front gather: record each merged row's (salt, within-
+        # salt row); position payloads are fetched lazily per subset
+        # (LazySaltedPositions — the cold positional query only ever
+        # touches its pruned candidate docs)
         rag = [r.positions_ragged() for r in recs]
-        flat_c = np.concatenate([f for f, _, _ in rag])
-        len_c = np.concatenate([ln for _, ln, _ in rag])
-        start_c = np.concatenate(([0], np.cumsum(len_c)[:-1]))
-        new_len = len_c[order]
-        total = int(new_len.sum())
-        new_start = np.concatenate(([0], np.cumsum(new_len)[:-1]))
-        gather = (np.repeat(start_c[order] - new_start, new_len)
-                  + np.arange(total))
-        positions = RaggedPositions(flat_c[gather], new_len, new_start)
+        counts = np.asarray([r.doc_ids.size for r in recs], np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        src_salt_c = np.repeat(np.arange(len(recs)), counts)
+        src_idx_c = np.arange(int(counts.sum())) - offs[src_salt_c]
+        positions = LazySaltedPositions(
+            salt_rags=rag,
+            src_salt=src_salt_c[order],
+            src_idx=src_idx_c[order],
+            lengths=tfs,
+        )
     return PostingsRec(
         term=recs[0].term, df=recs[0].df, idf=recs[0].idf,
         doc_ids=doc_ids[order], tfs=tfs, dls=dls,

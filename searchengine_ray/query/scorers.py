@@ -223,17 +223,13 @@ def _pair_boost_scores(rec1, rec2, qd: int, docs_sorted: np.ndarray):
             common, i1, i2 = common[keep], i1[keep], i2[keep]
     if common.size == 0:
         return None
-    f1, l1, s1 = rec1.positions_ragged()
-    f2, l2, s2 = rec2.positions_ragged()
-    len1, len2 = l1[i1], l2[i2]
-    st1, st2 = s1[i1], s2[i2]
+    # subset position gather — only the common docs' payloads move
+    # (salted terms never materialize their full merged positions)
+    p1c, len1, _ = rec1.positions_slices(i1)
+    f2, len2, st2 = rec2.positions_slices(i2)
     tot1 = int(len1.sum())
     if tot1 == 0:
         return None
-    # flat p1 for common docs (doc-major, position order)
-    cum1 = np.concatenate(([0], np.cumsum(len1)[:-1]))
-    idx1 = np.repeat(st1 - cum1, len1) + np.arange(tot1)
-    p1c = f1[idx1]
     # cross-product rows: each p1 element against its doc's p2 segment
     rep = np.repeat(len2, len1)            # per-p1-element segment size
     total = int(rep.sum())
