@@ -33,10 +33,17 @@ def _sym_edges(pairs_ds):
     return pairs_ds.map_batches(sym, batch_format="pyarrow")
 
 
-def dup_clusters(pairs_ds, max_rounds: int = 8, num_partitions: int = 16):
+def dup_clusters(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
     """→ Dataset (doc_id, cluster) where cluster = min doc_id of the
     connected component. Only docs that appear in some pair are listed
-    (singletons are their own cluster by definition)."""
+    (singletons are their own cluster by definition).
+
+    Each round does neighbor min-propagation PLUS pointer jumping
+    (label ← label-of-label), so convergence is O(log diameter) — a
+    10^6-node path converges in ~20 rounds where plain propagation
+    needs 10^6. Refuses to return silently-unconverged labels (raises
+    after ``max_rounds``; round-2 fix — the round-1 cap returned wrong
+    clusters on graphs with diameter > max_rounds)."""
     from ray.data.aggregate import Min
 
     edges = _sym_edges(pairs_ds).materialize()
@@ -69,6 +76,35 @@ def dup_clusters(pairs_ds, max_rounds: int = 8, num_partitions: int = 16):
             ))
             .groupby("doc_id")
             .aggregate(Min("cand", alias_name="new_label"))
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "label": b["new_label"]}),
+            batch_format="pyarrow",
+            # repartition merges away the groupby's empty SCHEMALESS
+            # blocks, which the hash join cannot key
+        ).repartition(num_partitions).materialize()
+        # pointer jumping: label(doc) ← label(label(doc)) — labels are
+        # themselves doc ids, so one more keyed join halves the
+        # remaining path length every round (O(log diameter) total)
+        right = best.map_batches(
+            lambda b: pa.table({"rdoc": b["doc_id"], "rlabel": b["label"]}),
+            batch_format="pyarrow",
+        )
+        jump = best.join(
+            right, join_type="inner", num_partitions=num_partitions,
+            on=("label",), right_on=("rdoc",),
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "cand": b["rlabel"]}),
+            batch_format="pyarrow",
+        )
+        best = (
+            jump.union(best.map_batches(
+                lambda b: pa.table({"doc_id": b["doc_id"],
+                                    "cand": b["label"]}),
+                batch_format="pyarrow",
+            ))
+            .groupby("doc_id")
+            .aggregate(Min("cand", alias_name="new_label"))
         ).materialize()
         # convergence witness: labels only ever DECREASE under min-
         # propagation, so the global label sum strictly drops iff any
@@ -81,6 +117,11 @@ def dup_clusters(pairs_ds, max_rounds: int = 8, num_partitions: int = 16):
         ).materialize()
         if old_sum == new_sum:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_rounds} rounds "
+            "(component diameter too large) — raise max_rounds"
+        )
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["label"]}),
         batch_format="pyarrow",

@@ -279,15 +279,6 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = (a.astype(np.int64) ^ b.astype(np.int64)).astype(np.uint64)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
-
-
 def _hamming_matrix(sigs: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distances of uint64 signatures → (g, g) int64
     via byte-view unpackbits (vectorized popcount)."""

@@ -86,3 +86,25 @@ def test_ivf_persisted_probe_reads_only_probed_cells(ray_session, tmp_path):
     assert stats["files_read"] < stats["files_total"]
     # rebuild is a no-op (manifest cache)
     assert ivf_build(ds, idx, n_centroids=8) == man
+
+
+def test_dup_clusters_larger_graph(ray_session):
+    """5k-edge multi-component graph: min-label propagation converges
+    and labels every component by its min id (join path exercised well
+    past the toy sizes)."""
+    import ray.data
+
+    n_comp, comp_size = 100, 50  # 100 disjoint 50-node chains
+    a, b = [], []
+    for c in range(n_comp):
+        base = c * 1000
+        a.extend(range(base, base + comp_size - 1))
+        b.extend(range(base + 1, base + comp_size))
+    pairs = pa.table({"doc_a": pa.array(a, pa.int64()),
+                      "doc_b": pa.array(b, pa.int64())})
+    from searchengine_ray.pipelines.clusters import dup_clusters
+
+    out = dup_clusters(ray.data.from_arrow(pairs), max_rounds=16).take_all()
+    assert len(out) == n_comp * comp_size
+    for r in out:
+        assert r["cluster"] == (r["doc_id"] // 1000) * 1000

@@ -244,3 +244,26 @@ def test_minhash_bucket_cap_flags_truncation():
     out = bucket_pairs_group(g, max_bucket=20)
     assert out.num_rows == 20 * 19 // 2
     assert out["truncated"].to_pylist()[0] is True
+
+
+def test_minhash_signature_segmented_parity():
+    """The whole-batch segmented signature path equals the documented
+    single-doc API for every doc."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.dedup import (
+        _shingle_arrays,
+        _signatures_segmented,
+        minhash_signature,
+    )
+
+    rows = [(0, NEAR_A), (1, NEAR_B), (2, OTHER), (3, "x"), (4, "")]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    doc_ids, sh, seg = _shingle_arrays(t)
+    sig = _signatures_segmented(sh, seg)
+    for i in range(len(doc_ids)):
+        np.testing.assert_array_equal(
+            sig[:, i], minhash_signature(sh[seg[i]:seg[i + 1]])
+        )
