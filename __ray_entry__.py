@@ -438,6 +438,39 @@ def _q_multimodal_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def _materialized(ds, schema: dict) -> pa.Table:
+    """Small verified-pair outputs → concrete table with an explicit
+    schema (join stages can emit schemaless empty blocks that would
+    otherwise poison the concat)."""
+    rows = ds.take_all()
+    return pa.table({
+        name: pa.array([r[name] for r in rows], typ)
+        for name, typ in schema.items()
+    })
+
+
+def _q_jaccard_dedup(sf_dir: str):
+    from searchengine_ray.pipelines.dedup import jaccard_verified_pairs
+
+    return _materialized(
+        jaccard_verified_pairs(_docs_ds(sf_dir)),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(),
+         "n_inter": pa.int64(), "n_union": pa.int64()},
+    )
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import embedding_near_dup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _materialized(
+        embedding_near_dup(ds, threshold=0.3),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sim_q2": pa.int64()},
+    )
+
+
 def _q_dup_clusters(sf_dir: str):
     from searchengine_ray.pipelines.clusters import dup_clusters
     from searchengine_ray.pipelines.dedup import minhash_candidates
@@ -497,6 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "lsh_candidates": _q_lsh_candidates,
+        "jaccard_dedup": _q_jaccard_dedup,
+        "embedding_near_dup": _q_embedding_near_dup,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -668,4 +703,6 @@ def oracle_sql() -> dict[str, str]:
         [0, 1, 2], k=5, n_centroids=8, nprobe=4
     )
     out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
+    out["jaccard_dedup"] = oracles.sql_jaccard_dedup(pclass)
+    out["embedding_near_dup"] = oracles.sql_embedding_near_dup(0.3)
     return out

@@ -338,6 +338,63 @@ def simhash_explode_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def jaccard_verified_pairs(docs_ds, min_num: int = 1, min_den: int = 2):
+    """N-gram-Jaccard dedup: MinHash-LSH candidates VERIFIED by exact
+    word-3-gram Jaccard ≥ min_num/min_den. → Dataset (doc_a, doc_b,
+    n_inter, n_union) — intersection/union sizes kept as INTEGERS so
+    the threshold and the DuckDB oracle are rational-exact (no float
+    rounding at the knife edge). Texts reach the verify stage through
+    two hash joins (pairs are the small side; no full-corpus
+    materialization)."""
+    cand = minhash_candidates(docs_ds)
+    da = docs_ds.map_batches(
+        lambda b: pa.table({"jda": b["doc_id"], "text_a": b["text"]}),
+        batch_format="pyarrow",
+    )
+    db = docs_ds.map_batches(
+        lambda b: pa.table({"jdb": b["doc_id"], "text_b": b["text"]}),
+        batch_format="pyarrow",
+    )
+    j = cand.join(da, join_type="inner", num_partitions=4,
+                  on=("doc_a",), right_on=("jda",))
+    j = j.join(db, join_type="inner", num_partitions=4,
+               on=("doc_b",), right_on=("jdb",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_a, out_b, out_i, out_u = [], [], [], []
+        if n:
+            texts = pa.concat_arrays([
+                b["text_a"].combine_chunks().cast(pa.string()),
+                b["text_b"].combine_chunks().cast(pa.string()),
+            ])
+            t = pa.table({
+                "doc_id": pa.array(np.arange(2 * n), pa.int64()),
+                "text": texts,
+            })
+            _, sh, seg = _shingle_arrays(t)
+            doc_a = b["doc_a"].to_numpy(zero_copy_only=False)
+            doc_b = b["doc_b"].to_numpy(zero_copy_only=False)
+            for i in range(n):
+                sa = sh[seg[i]:seg[i + 1]]
+                sb = sh[seg[n + i]:seg[n + i + 1]]
+                inter = np.intersect1d(sa, sb).size
+                union = sa.size + sb.size - inter
+                if inter * min_den >= union * min_num:
+                    out_a.append(int(doc_a[i]))
+                    out_b.append(int(doc_b[i]))
+                    out_i.append(inter)
+                    out_u.append(union)
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "n_inter": pa.array(out_i, pa.int64()),
+            "n_union": pa.array(out_u, pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1000):
     """→ Dataset (doc_a, doc_b, hamming) near-dup pairs via band
     blocking, ONE all-to-all (pairs unique by the first-colliding-band

@@ -420,6 +420,62 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def embedding_near_dup(embeddings_ds, threshold: float = 0.3,
+                       num_partitions: int = 4):
+    """Embedding-cosine near-dup: hyperplane-LSH candidate pairs
+    VERIFIED by exact cosine ≥ threshold → Dataset (doc_a, doc_b,
+    sim_q2). Pairs are the small side of two hash joins; cosine is
+    float64 over the raw embedding values."""
+    cand = lsh_candidate_pairs(embeddings_ds, max_bucket=500)
+
+    def pack(b: pa.Table, id_name: str, emb_name: str) -> pa.Table:
+        # acero joins reject list<float> payload columns — carry the
+        # embedding as fixed-size binary (zero semantic change)
+        m = np.ascontiguousarray(_embedding_matrix(b), dtype=np.float64)
+        fsb = pa.Array.from_buffers(
+            pa.binary(m.shape[1] * 8), m.shape[0],
+            [None, pa.py_buffer(m.tobytes())],
+        )
+        return pa.table({id_name: b["vec_id"], emb_name: fsb})
+
+    def unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = arr.type.byte_width // 8
+        raw = np.frombuffer(arr.buffers()[1], np.float64)
+        return raw.reshape(-1, width)[arr.offset:arr.offset + len(arr)]
+
+    ea = embeddings_ds.map_batches(
+        lambda b: pack(b, "va", "emb_a"), batch_format="pyarrow"
+    )
+    eb = embeddings_ds.map_batches(
+        lambda b: pack(b, "vb", "emb_b"), batch_format="pyarrow"
+    )
+    j = cand.join(ea, join_type="inner", num_partitions=num_partitions,
+                  on=("doc_a",), right_on=("va",))
+    j = j.join(eb, join_type="inner", num_partitions=num_partitions,
+               on=("doc_b",), right_on=("vb",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "sim_q2": pa.array([], pa.int64()),
+            })
+        ma = _normalize(unpack(b["emb_a"]))
+        mb = _normalize(unpack(b["emb_b"]))
+        sims = np.einsum("ij,ij->i", ma, mb)
+        keep = sims >= threshold
+        return pa.table({
+            "doc_a": b["doc_a"].filter(pa.array(keep)),
+            "doc_b": b["doc_b"].filter(pa.array(keep)),
+            "sim_q2": pa.array(np.round(sims[keep] * 100).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def lsh_candidate_pairs(embeddings_ds, max_bucket: int = 500):
     """Near-neighbor candidate pairs via hyperplane-LSH bucketing —
     ONE groupby shuffle on (table, bucket); distinct by the

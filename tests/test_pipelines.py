@@ -267,3 +267,39 @@ def test_minhash_signature_segmented_parity():
         np.testing.assert_array_equal(
             sig[:, i], minhash_signature(sh[seg[i]:seg[i + 1]])
         )
+
+
+def test_jaccard_verified_pairs(ray_session):
+    """Exact-Jaccard verification keeps near-dups (j >= 1/2) and drops
+    sub-threshold candidates; intersection/union kept integer-exact."""
+    from searchengine_ray.pipelines.dedup import jaccard_verified_pairs
+
+    rows = [(0, NEAR_A), (1, NEAR_B), (2, OTHER), (4, NEAR_A)]
+    out = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+           for r in jaccard_verified_pairs(_docs_from(rows)).take_all()}
+    assert (0, 4) in out               # exact dup: jaccard 1
+    ni, nu = out[(0, 4)]
+    assert ni == nu and ni > 0
+    for (a, b), (i, u) in out.items():
+        assert 2 * i >= u              # the rational threshold held
+
+
+def test_embedding_near_dup(ray_session):
+    """A planted duplicate vector is found with sim_q2 == 100."""
+    import numpy as np
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import embedding_near_dup
+
+    rs = np.random.RandomState(5)
+    m = rs.randn(60, 16).astype(np.float32)
+    m[7] = m[3]  # planted exact duplicate
+    t = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    out = {(r["doc_a"], r["doc_b"]): r["sim_q2"]
+           for r in embedding_near_dup(
+               ray.data.from_arrow(t), threshold=0.9).take_all()}
+    assert out.get((3, 7)) == 100
