@@ -288,6 +288,30 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.events import sliding_window_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return sliding_window_counts(ds, window_hours=4)
+
+
+def _q_events_asof(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.events import asof_join_latest
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return asof_join_latest(ds, left_type="click", right_type="view")
+
+
 def _q_ann_cosine(sf_dir: str):
     import ray.data
 
@@ -520,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": _q_lang_hist,
         "events_by_user": _q_events_by_user,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
         "ann_cosine_topk": _q_ann_cosine,
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
@@ -705,4 +731,29 @@ def oracle_sql() -> dict[str, str]:
     out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
     out["jaccard_dedup"] = oracles.sql_jaccard_dedup(pclass)
     out["embedding_near_dup"] = oracles.sql_embedding_near_dup(0.3)
+    out["events_sliding"] = (
+        "WITH hourly AS (SELECT event_type, "
+        "  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, "
+        "  count(*)::BIGINT AS n, sum(value) AS sv "
+        "  FROM events GROUP BY 1, 2) "
+        "SELECT h.event_type, h.h + o.off AS hour_bucket, "
+        "sum(h.n)::BIGINT AS n, "
+        "CAST(round(sum(h.sv) * 10000) AS BIGINT) AS sum_value_q4 "
+        "FROM hourly h CROSS JOIN (SELECT unnest(range(4)) AS off) o "
+        "GROUP BY 1, 2"
+    )
+    out["events_asof"] = (
+        "WITH c AS (SELECT event_id, ts, user_id FROM events "
+        "           WHERE event_type = 'click'), "
+        "v AS (SELECT event_id, ts, user_id FROM events "
+        "      WHERE event_type = 'view'), "
+        "ranked AS (SELECT c.event_id, c.user_id, "
+        "  v.event_id AS matched_event_id, "
+        "  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us, "
+        "  row_number() OVER (PARTITION BY c.event_id "
+        "    ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+        "  FROM c JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) "
+        "SELECT event_id, user_id, matched_event_id, lag_us "
+        "FROM ranked WHERE rn = 1"
+    )
     return out

@@ -303,3 +303,48 @@ def test_embedding_near_dup(ray_session):
            for r in embedding_near_dup(
                ray.data.from_arrow(t), threshold=0.9).take_all()}
     assert out.get((3, 7)) == 100
+
+
+def test_sliding_window_counts(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.events import sliding_window_counts
+
+    # two events 1 hour apart, one 10 hours later
+    base = 1_700_000_000_000_000  # µs
+    t = pa.table({
+        "ts": pa.array([base, base + 3_600_000_000,
+                        base + 36_000_000_000], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    })
+    out = {r["hour_bucket"]: (r["n"], r["sum_value_q4"])
+           for r in sliding_window_counts(
+               ray.data.from_arrow(t), window_hours=2).take_all()}
+    h0 = base // 3_600_000_000
+    assert out[h0] == (1, 10_000)          # window covers event 1
+    assert out[h0 + 1] == (2, 30_000)      # events 1+2
+    assert out[h0 + 2] == (1, 20_000)      # event 2 trailing
+    assert out[h0 + 10] == (1, 40_000)     # the late event
+
+
+def test_asof_join_latest(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.events import asof_join_latest
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([10 * us, 20 * us, 25 * us, 5 * us, 30 * us,
+                        40 * us], pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8, 8, 9], pa.int64()),
+        "event_type": pa.array(["view", "view", "click", "click",
+                                "click", "click"], pa.string()),
+    })
+    out = {r["event_id"]: (r["matched_event_id"], r["lag_us"])
+           for r in asof_join_latest(ray.data.from_arrow(t)).take_all()}
+    assert out[3] == (2, 5 * us)   # click@25 -> view@20
+    assert 4 not in out            # click@5 has no prior view (user 8)
+    assert 5 not in out            # user 8 has no views at all
+    assert 6 not in out            # user 9 has no views
