@@ -183,6 +183,22 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_bulk(args) -> int:
+    """Batch serving: a queries parquet (query_id, query) → top-k rows
+    parquet via the QueryActor pool."""
+    import ray.data
+
+    from searchengine_ray.query.engine import search_dataset
+
+    qds = ray.data.read_parquet(args.queries)
+    out = search_dataset(qds, args.search_index, n=args.n,
+                         with_urls=args.urls)
+    out.write_parquet(args.output)
+    print(json.dumps({"queries": qds.count(), "rows": out.count(),
+                      "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -210,6 +226,13 @@ def main(argv=None) -> int:
                     choices=["exact", "minhash", "simhash"])
     pd.add_argument("--id-column", default="doc_id")
     pd.add_argument("--text-column", default="text")
+    pb = sub.add_parser("bulk")
+    pb.add_argument("--search-index", required=True)
+    pb.add_argument("--queries", nargs="+", required=True,
+                    help="parquet of (query_id, query)")
+    pb.add_argument("--output", required=True)
+    pb.add_argument("--n", type=int, default=10)
+    pb.add_argument("--urls", action="store_true")
     pa_ = sub.add_parser("ann")
     pa_.add_argument("--embeddings", nargs="+", required=True)
     pa_.add_argument("--query-ids", required=True,
@@ -221,7 +244,7 @@ def main(argv=None) -> int:
     pa_.add_argument("--nprobe", type=int, default=4)
     pa_.add_argument("--ivf-index", default=None)
     args = ap.parse_args(argv)
-    if args.cmd in ("dedup", "ann"):  # only the Dataset pipelines need Ray
+    if args.cmd in ("dedup", "ann", "bulk"):  # Dataset pipelines need Ray
         import ray
 
         if not ray.is_initialized():
@@ -235,6 +258,8 @@ def main(argv=None) -> int:
         return cmd_dedup(args)
     if args.cmd == "ann":
         return cmd_ann(args)
+    if args.cmd == "bulk":
+        return cmd_bulk(args)
     return cmd_search(args)
 
 

@@ -97,3 +97,22 @@ def read_tsv_corpus(
         .repartition(len(items))
         .map_batches(read_file, batch_size=None, batch_format="pyarrow")
     )
+
+
+def tsv_to_pages_parquet(
+    paths: list[str],
+    out_dir: str,
+    doc_id_column: str,
+    columns: list[str],
+    delimiter: str = "\t",
+) -> list[str]:
+    """Gzip-TSV corpus → parquet pages directory ready for
+    ``build_index`` (the reference's ingest path, end to end: its
+    Amazon-review TSVs become an indexable Ray corpus in one call).
+    Returns the written parquet paths."""
+    ds = read_tsv_corpus(paths, doc_id_column, columns, delimiter)
+    ds.write_parquet(out_dir)
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))

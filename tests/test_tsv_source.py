@@ -114,3 +114,37 @@ def test_unicode_corpus_reference_parity(ray_session, tmp_path):
     assert [d for d, _ in ours] == [d for d, _ in refc]
     for (d1, s1), (d2, s2) in zip(ours, refc):
         assert s1 == pytest.approx(s2, abs=1e-12)
+
+
+def test_tsv_to_index_end_to_end(ray_session, tmp_path):
+    """The reference's full ingest path: gzip-TSV -> parquet pages ->
+    index -> search returns the TSV's external ids as urls."""
+    import gzip
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.tsv import tsv_to_pages_parquet
+
+    tsv = tmp_path / "reviews.tsv.gz"
+    rows = [
+        "review_id\treview_headline\treview_body",
+        "R1\tgreat game\tthe game plays great and runs fast",
+        "R2\tslow start\tthe game starts slow but ends fast",
+        "R3\tother topic\tcooking recipes and kitchen tools",
+    ]
+    with gzip.open(tsv, "wt", encoding="utf-8") as f:
+        f.write("\n".join(rows) + "\n")
+
+    pages = tsv_to_pages_parquet(
+        [str(tsv)], str(tmp_path / "pages"),
+        doc_id_column="review_id",
+        columns=["review_headline", "review_body"],
+    )
+    assert pages
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx, IndexConfig(num_shards=2))
+    res = Searcher(idx).search("fast game", 3)
+    urls = res["url"].to_pylist()
+    assert set(urls) <= {"R1", "R2", "R3"}
+    assert "R1" in urls and "R3" not in urls
