@@ -322,17 +322,32 @@ class TokenizeStage:
         )
 
 
-def tokenized_checkpoint_path(out_dir: str, doc_offset: int) -> str:
+def fragment_key(doc_offset: int, num_rows: int, path: str) -> str:
+    """Checkpoint resume key: offset + row count + source-path hash.
+    Offset alone (round 1) could silently reuse a stale checkpoint when
+    the input FILE SET changes and offsets shift — content-keying makes
+    any layout change miss the cache instead of corrupting it."""
+    import hashlib
+
+    h8 = hashlib.md5(path.encode()).hexdigest()[:8]
+    return f"tok-{doc_offset:012d}-{num_rows}-{h8}"
+
+
+def tokenized_checkpoint_path(out_dir: str, doc_offset: int, num_rows: int,
+                              path: str) -> str:
     """Deterministic per-fragment checkpoint file name (resume key)."""
-    return os.path.join(out_dir, f"tok-{doc_offset:012d}.parquet")
+    return os.path.join(
+        out_dir, fragment_key(doc_offset, num_rows, path) + ".parquet"
+    )
 
 
-def fragment_stats_path(out_dir: str, doc_offset: int) -> str:
+def fragment_stats_path(out_dir: str, doc_offset: int, num_rows: int,
+                        path: str) -> str:
     """Sidecar stats live OUTSIDE the parquet dir (directory reads must
     see only parquet)."""
     return os.path.join(
         os.path.dirname(out_dir.rstrip("/")), "tokenized_stats",
-        f"tok-{doc_offset:012d}.stats.json",
+        fragment_key(doc_offset, num_rows, path) + ".stats.json",
     )
 
 
@@ -410,8 +425,12 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
                 num_rows=row["num_rows"],
                 doc_offset=row["doc_offset"],
             )
-            path = tokenized_checkpoint_path(out_dir, frag.doc_offset)
-            spath = fragment_stats_path(out_dir, frag.doc_offset)
+            path = tokenized_checkpoint_path(
+                out_dir, frag.doc_offset, frag.num_rows, frag.path
+            )
+            spath = fragment_stats_path(
+                out_dir, frag.doc_offset, frag.num_rows, frag.path
+            )
             sp_path = os.path.join(
                 spill_dir, f"spill-{frag.doc_offset:012d}-{frag.num_rows}.parquet"
             )

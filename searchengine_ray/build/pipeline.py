@@ -151,6 +151,49 @@ def _guard_resume_config(out_dir: str, cfg: IndexConfig,
     os.replace(tmp, path)
 
 
+def _sync_fragment_set(out_dir, tok_dir, shard_dir, spill_dir, frags):
+    """Record the planned fragment set in ``fragments.json``; when it
+    differs from the previous build's, delete the shard/spill artifacts
+    (stale: corpus stats changed) and prune checkpoints that belong to
+    no current fragment (their doc ranges could overlap the new layout
+    and poison the docmap)."""
+    from searchengine_ray.build.extract import fragment_key
+
+    keys = sorted(
+        fragment_key(f.doc_offset, f.num_rows, f.path) for f in frags
+    )
+    path = os.path.join(out_dir, "fragments.json")
+    prev = None
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+    if prev == keys:
+        return
+    if prev is not None:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        try:
+            os.remove(os.path.join(out_dir, MANIFEST_NAME))
+        except OSError:
+            pass
+        valid = set(keys)
+        for d, suffix in ((tok_dir, ".parquet"),
+                          (os.path.join(out_dir, "tokenized_stats"),
+                           ".stats.json")):
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.endswith(suffix) and \
+                            fn[: -len(suffix)] not in valid:
+                        try:
+                            os.remove(os.path.join(d, fn))
+                        except OSError:
+                            pass
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(keys, fh)
+    os.replace(tmp, path)
+
+
 def build_index(
     input_paths: list[str] | str,
     out_dir: str,
@@ -190,6 +233,7 @@ def build_index(
     _guard_resume_config(out_dir, cfg, id_column, text_column, url_column)
     tok_dir = os.path.join(out_dir, "tokenized")
     shard_dir = os.path.join(out_dir, "shards")
+    spill_dir = os.path.join(out_dir, "spill")
     metrics: dict = {}
     # sweep partial .tmp files from a crashed run (publishes are atomic
     # renames, so anything still named .tmp* is garbage)
@@ -210,11 +254,21 @@ def build_index(
     import ray as _ray
 
     n_cpus = int(_ray.cluster_resources().get("CPU", 4))
+    # fragment-set guard: if the planned fragments differ from the last
+    # build into this out_dir (input files added/removed/resized), the
+    # SHARDS are stale (df/idf/N change with any corpus change) — wipe
+    # them plus any stale checkpoints, but keep every still-valid
+    # tokenized checkpoint: an APPEND resumes the expensive tokenize
+    # work and re-runs only the cheap reduce.
+    _sync_fragment_set(out_dir, tok_dir, shard_dir, spill_dir, frags)
+
     pending = [
         f for f in frags
         if not (
-            os.path.exists(tokenized_checkpoint_path(tok_dir, f.doc_offset))
-            and os.path.exists(fragment_stats_path(tok_dir, f.doc_offset))
+            os.path.exists(tokenized_checkpoint_path(
+                tok_dir, f.doc_offset, f.num_rows, f.path))
+            and os.path.exists(fragment_stats_path(
+                tok_dir, f.doc_offset, f.num_rows, f.path))
         )
     ]
 
@@ -231,7 +285,6 @@ def build_index(
     # sidecar → local aggregation → spill (one row group per gkey).
     # One wave of tasks does all heavy compute; only stats return.
     t0 = time.perf_counter()
-    spill_dir = os.path.join(out_dir, "spill")
     frag_ds = ray.data.from_arrow(_fragments_to_table(frags)).repartition(
         len(frags)
     )
@@ -257,14 +310,17 @@ def build_index(
     if len(frags) <= 2048:
         frag_stats = []
         for f in frags:
-            with open(fragment_stats_path(tok_dir, f.doc_offset)) as fh:
+            with open(fragment_stats_path(
+                    tok_dir, f.doc_offset, f.num_rows, f.path)) as fh:
                 frag_stats.append(json.load(fh))
     else:
         def fold_sidecars(batch: pa.Table) -> pa.Table:
             docs = postings = sum_dl = 0
             min_dl, max_dl = None, None
-            for off in batch["doc_offset"].to_pylist():
-                with open(fragment_stats_path(tok_dir, off)) as fh:
+            for row in batch.to_pylist():
+                with open(fragment_stats_path(
+                        tok_dir, row["doc_offset"], row["num_rows"],
+                        row["path"])) as fh:
                     s = json.load(fh)
                 docs += s["docs"]
                 postings += s["postings"]
@@ -281,8 +337,13 @@ def build_index(
             })
 
         frag_stats = ray.data.from_arrow(
-            pa.table({"doc_offset": pa.array(
-                [f.doc_offset for f in frags], pa.int64())})
+            pa.table({
+                "doc_offset": pa.array(
+                    [f.doc_offset for f in frags], pa.int64()),
+                "num_rows": pa.array(
+                    [f.num_rows for f in frags], pa.int64()),
+                "path": pa.array([f.path for f in frags], pa.string()),
+            })
         ).repartition(n_cpus).map_batches(
             fold_sidecars, batch_format="pyarrow", batch_size=None,
             num_cpus=1,

@@ -192,3 +192,44 @@ def test_boolean_at_rest_format(ray_session, tmp_path):
         df, _ = sf.search_tokens(tokens, 100)
         assert sorted(set(db.tolist())) == sorted(set(df.tolist()))
         assert len(db) > 0
+
+
+def test_incremental_append_rebuilds_shards_reuses_tokenize(ray_session,
+                                                            tmp_path):
+    """Appending input files to an existing out_dir must (a) reuse the
+    old fragments' tokenize checkpoints, (b) rebuild the shards (idf/N
+    change with the corpus), and (c) produce byte-identical results to
+    a fresh build. Round 1 silently served STALE shards here."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import unit_pages
+
+    base = unit_pages()
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(base.slice(0, 3), src / "a.parquet")
+    pq.write_table(base.slice(3, 2), src / "b.parquet")
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_shards=2)
+    build_index(str(src), idx, cfg)
+    n1 = Searcher(idx).manifest["corpus"]["n_docs"]
+
+    # append a third file (sorts after -> old offsets unchanged)
+    pq.write_table(base.slice(5, 1), src / "c.parquet")
+    m2 = build_index(str(src), idx, cfg)
+    assert m2["metrics"]["tokenize_fragments_resumed"] == 2  # a, b reused
+    assert m2["corpus"]["n_docs"] == n1 + 1
+
+    fresh = str(tmp_path / "fresh")
+    m3 = build_index(str(src), fresh, cfg)
+    sa = {s["file"].split("/")[-1]: s["file"] for s in m2["shards"]}
+    sb = {s["file"].split("/")[-1]: s["file"] for s in m3["shards"]}
+    assert sa.keys() == sb.keys()
+    for name in sa:
+        assert pq.read_table(sa[name]).equals(pq.read_table(sb[name])), name
+    ra = Searcher(idx).search("game player", 5)
+    rb = Searcher(fresh).search("game player", 5)
+    assert ra.equals(rb)
