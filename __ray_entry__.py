@@ -157,6 +157,38 @@ def _q_top_terms(sf_dir: str):
     return out
 
 
+def _q_top_bigrams(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.analysis import bigram_partial_batch
+
+    partial = _docs_ds(sf_dir).map_batches(
+        bigram_partial_batch, batch_format="pyarrow"
+    )
+    return (
+        partial.groupby("bigram")
+        .aggregate(Sum("cf_partial", alias_name="cf"))
+        .sort(["cf", "bigram"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def _q_events_props_hist(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from searchengine_ray.pipelines.analysis import props_k_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["props"]
+    )
+    return (
+        ds.map_batches(props_k_batch, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def _q_bm25_topk(sf_dir: str):
     from searchengine_ray.query.engine import Searcher
 
@@ -534,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_tf": _q_postings_tf,
         "term_df": _q_term_df,
         "top_terms": _q_top_terms,
+        "top_bigrams": _q_top_bigrams,
+        "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "search_wand": _q_search_wand,
@@ -598,6 +632,25 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS ({toks}) "
             "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
             "ORDER BY cf DESC, term ASC LIMIT 50"
+        ),
+        "top_bigrams": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(regexp_replace(text, "
+            f"'{pclass}', ' ', 'g')), '\\s+'), "
+            "t -> length(t) >= 2) AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term, "
+            "        generate_subscripts(toks, 1) AS pos FROM base), "
+            "bg AS (SELECT a.term || ' ' || b.term AS bigram "
+            "  FROM tok a JOIN tok b ON a.doc_id = b.doc_id "
+            "   AND b.pos = a.pos + 1) "
+            "SELECT bigram, count(*)::BIGINT AS cf FROM bg GROUP BY 1 "
+            "ORDER BY cf DESC, bigram ASC LIMIT 50"
+        ),
+        "events_props_hist": (
+            "SELECT CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+            "AS BIGINT) AS k, count(*)::BIGINT AS n FROM events "
+            "WHERE regexp_extract(props, '\"k\":\\s*(\\d+)', 1) <> '' "
+            "GROUP BY 1"
         ),
         "bm25_topk": (
             f"WITH toks AS ({toks}), "

@@ -141,6 +141,40 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def bigram_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial word-bigram counts (combiner before the small
+    groupby-sum): consecutive token pairs within a doc, joined with one
+    space."""
+    flat, parents = simple_tokens_flat(batch["text"])
+    par = np.asarray(parents, dtype=np.int64)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cf_partial": pa.array([], pa.int64())})
+    same_doc = par[1:] == par[:-1]
+    left = flat.slice(0, len(flat) - 1).filter(pa.array(same_doc))
+    right = flat.slice(1).filter(pa.array(same_doc))
+    bigrams = pc.binary_join_element_wise(left, right, " ")
+    vc = pc.value_counts(bigrams)
+    if len(vc) == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cf_partial": pa.array([], pa.int64())})
+    return pa.table({"bigram": vc.field("values"),
+                     "cf_partial": vc.field("counts").cast(pa.int64())})
+
+
+_PROPS_KEY_RE = '"k":\\s*(\\d+)'
+
+
+def props_k_batch(batch: pa.Table) -> pa.Table:
+    """Extract the integer ``k`` field from the JSON ``props`` column
+    (vectorized regex — the schema is fixed; a general pipeline would
+    swap in a JSON kernel here). Rows without a match are dropped."""
+    ext = pc.extract_regex(batch["props"], pattern='"k":\\s*(?P<k>\\d+)')
+    valid = ext.is_valid()
+    ks = pc.struct_field(ext.filter(valid), "k").cast(pa.int64())
+    return pa.table({"k": ks})
+
+
 # -- language id (heuristic; rows-only oracle) -----------------------------
 
 _LANG_MARKERS = {
