@@ -527,6 +527,14 @@ def _q_embedding_near_dup(sf_dir: str):
     )
 
 
+def _q_curate_corpus(sf_dir: str):
+    from searchengine_ray.pipelines.curate import curate_corpus
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return curate_corpus(_docs_ds(sf_dir),
+                         out_dir=f"/tmp/graft_curated_{key}")
+
+
 def _q_dup_clusters(sf_dir: str):
     from searchengine_ray.pipelines.clusters import dup_clusters
     from searchengine_ray.pipelines.dedup import minhash_candidates
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_dedup": _q_jaccard_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
+        "curate_corpus": _q_curate_corpus,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -783,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
     out["jaccard_dedup"] = oracles.sql_jaccard_dedup(pclass)
+    out["curate_corpus"] = oracles.sql_curate_corpus(pclass, _LANG_MARKERS)
     out["embedding_near_dup"] = oracles.sql_embedding_near_dup(0.3)
     out["events_sliding"] = (
         "WITH hourly AS (SELECT event_type, "

@@ -1,0 +1,90 @@
+"""End-to-end corpus curation: the composition a training-data
+pipeline actually runs — quality signals → rule filter → language id →
+exact dedup → partitioned, resumable parquet output.
+
+All rules are INTEGER comparisons (rational-exact, no float knife
+edges), so the whole pipeline is value-exact verifiable in DuckDB
+(__ray_entry__.oracle_sql: ``curate_corpus``). One keyed shuffle
+total (the dedup groupby); everything else is per-batch Arrow kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from searchengine_ray.pipelines.analysis import (
+    LangIdStage,
+    fingerprint_batch,
+    quality_stats_batch,
+)
+
+# keep-rules, integer-exact:
+#   n_tokens >= MIN_TOKENS
+#   punct density < 1/PUNCT_DEN   (n_punct_chars * PUNCT_DEN < n_chars)
+#   digit density < 1/DIGIT_DEN   (n_digit_chars * DIGIT_DEN < n_chars)
+MIN_TOKENS = 5
+PUNCT_DEN = 5
+DIGIT_DEN = 3
+
+
+class CurateStage:
+    """Per-batch: quality stats + language id + fingerprint + the rule
+    filter — one pass over the text, no shuffle. Stateful marker
+    tables built once per actor."""
+
+    def __init__(self):
+        self.langid = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = quality_stats_batch(batch)
+        lang = self.langid(batch)["lang_pred"]
+        fp = fingerprint_batch(batch)["fingerprint"]
+        n_chars = q["n_chars"].to_numpy(zero_copy_only=False)
+        keep = (
+            (q["n_tokens"].to_numpy(zero_copy_only=False) >= MIN_TOKENS)
+            & (q["n_punct_chars"].to_numpy(zero_copy_only=False)
+               * PUNCT_DEN < n_chars)
+            & (q["n_digit_chars"].to_numpy(zero_copy_only=False)
+               * DIGIT_DEN < n_chars)
+            & np.asarray(pc.not_equal(lang, "und"), dtype=bool)
+        )
+        mask = pa.array(keep)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(mask),
+            "lang_pred": lang.filter(mask),
+            "fingerprint": fp.filter(mask),
+            "n_tokens": q["n_tokens"].filter(mask),
+        })
+
+
+def curate_corpus(docs_ds, out_dir: str | None = None):
+    """→ Dataset (doc_id, lang_pred, n_tokens) of surviving docs:
+    rule-filtered AND exact-deduplicated (min doc_id per fingerprint
+    wins — ONE keyed shuffle). With ``out_dir``, the survivors are
+    also written as parquet PARTITIONED BY LANGUAGE (one directory per
+    lang — the resumable/restartable output layout)."""
+    staged = docs_ds.map_batches(
+        CurateStage, batch_format="pyarrow", num_cpus=1,
+        concurrency=_concurrency(),
+    )
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return g.select(["doc_id", "lang_pred", "n_tokens"]).slice(i, 1)
+
+    out = staged.groupby("fingerprint").map_groups(
+        dedup_group, batch_format="pyarrow"
+    )
+    if out_dir is not None:
+        out = out.materialize()
+        out.write_parquet(out_dir, partition_cols=["lang_pred"])
+    return out
+
+
+def _concurrency():
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    return autoscale_concurrency()

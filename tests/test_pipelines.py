@@ -348,3 +348,26 @@ def test_asof_join_latest(ray_session):
     assert 4 not in out            # click@5 has no prior view (user 8)
     assert 5 not in out            # user 8 has no views at all
     assert 6 not in out            # user 9 has no views
+
+
+def test_curate_corpus(ray_session, tmp_path):
+    """End-to-end curation: integer rules + lang filter + exact dedup +
+    language-partitioned parquet output."""
+    import os
+
+    from searchengine_ray.pipelines.curate import curate_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),  # keep (en)
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (2, "x"),                                   # too short
+        (3, "12345 67890 11111 22222 33333 9"),     # digit-heavy
+        (4, "der hund und die katze sind nicht zu hause heute"),  # keep (de)
+        (5, "zz qq ww ee rr tt yy uu ii oo"),       # no marker hits -> und
+    ]
+    out_dir = str(tmp_path / "curated")
+    out = curate_corpus(_docs_from(rows), out_dir=out_dir).take_all()
+    got = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert got == {0: "en", 4: "de"}   # dup 1 dropped, 2/3/5 filtered
+    assert os.path.isdir(os.path.join(out_dir, "lang_pred=en"))
+    assert os.path.isdir(os.path.join(out_dir, "lang_pred=de"))
