@@ -210,7 +210,7 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     levels = os.environ.get("GRAFT_SCALING_LEVELS", "2,8")
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     lo, hi = (int(x) for x in levels.split(","))
     # best-of-N per level: single runs swing ±10% on a shared box (page
     # cache, background daemons); min build time is the stable estimator

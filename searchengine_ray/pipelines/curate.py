@@ -79,7 +79,12 @@ def curate_corpus(docs_ds, out_dir: str | None = None):
         dedup_group, batch_format="pyarrow"
     )
     if out_dir is not None:
+        import shutil
+
         out = out.materialize()
+        # fresh write: write_parquet APPENDS into an existing dir, which
+        # would duplicate survivors on a rerun
+        shutil.rmtree(out_dir, ignore_errors=True)
         out.write_parquet(out_dir, partition_cols=["lang_pred"])
     return out
 
