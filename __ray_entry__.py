@@ -527,6 +527,20 @@ def _q_embedding_near_dup(sf_dir: str):
     )
 
 
+SAMPLE_RATES = {"en": 500, "de": 300, "fr": 300, "es": 200, "pt": 100}
+
+
+def _q_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, SAMPLE_RATES)
+
+
 def _q_curate_corpus(sf_dir: str):
     from searchengine_ray.pipelines.curate import curate_corpus
 
@@ -601,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dedup": _q_jaccard_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
         "curate_corpus": _q_curate_corpus,
+        "stratified_sample": _q_stratified_sample,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -793,6 +808,15 @@ def oracle_sql() -> dict[str, str]:
     out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
     out["jaccard_dedup"] = oracles.sql_jaccard_dedup(pclass)
     out["curate_corpus"] = oracles.sql_curate_corpus(pclass, _LANG_MARKERS)
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{la}' THEN {p}" for la, p in SAMPLE_RATES.items()
+    ) + " ELSE 0 END"
+    out["stratified_sample"] = (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+        f"({oracles.fnv_expr(chr(39) + 'doc:' + chr(39) + ' || doc_id')} "
+        f"% 1000::UBIGINT)::BIGINT AS hv FROM documents) "
+        f"WHERE hv < {rate_case}"
+    )
     out["embedding_near_dup"] = oracles.sql_embedding_near_dup(0.3)
     out["events_sliding"] = (
         "WITH hourly AS (SELECT event_type, "

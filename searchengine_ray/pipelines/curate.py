@@ -89,6 +89,35 @@ def curate_corpus(docs_ds, out_dir: str | None = None):
     return out
 
 
+def stratified_sample(docs_ds, rates: dict[str, int],
+                      default_permille: int = 0):
+    """Deterministic stratified sampling: keep a doc iff
+    ``fnv64('doc:' || doc_id) mod 1000 < rates[lang]`` (permille per
+    ``lang`` column) — reproducible anywhere, independent of
+    partitioning, ordering or cluster size, and exactly expressible in
+    the DuckDB oracle. Pure per-batch vectorized filter — no shuffle,
+    no RNG state."""
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    def sample(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        gates = np.asarray(
+            [rates.get(lang, default_permille) for lang in langs], np.int64
+        )
+        keys = pc.binary_join_element_wise(
+            pa.array(["doc:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        hv = (_hash_tokens(keys) % np.uint64(1000)).astype(np.int64)
+        mask = pa.array(hv < gates)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(mask),
+            "lang": b["lang"].filter(mask),
+        })
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow")
+
+
 def _concurrency():
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 

@@ -371,3 +371,24 @@ def test_curate_corpus(ray_session, tmp_path):
     assert got == {0: "en", 4: "de"}   # dup 1 dropped, 2/3/5 filtered
     assert os.path.isdir(os.path.join(out_dir, "lang_pred=en"))
     assert os.path.isdir(os.path.join(out_dir, "lang_pred=de"))
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """The sample is a pure function of (doc_id, lang) — identical
+    across runs and partitionings; rates gate per language."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "lang": pa.array((["en", "de"] * 500), pa.string()),
+    })
+    r1 = {r["doc_id"] for r in stratified_sample(
+        ray.data.from_arrow(t), {"en": 500, "de": 0}).take_all()}
+    r2 = {r["doc_id"] for r in stratified_sample(
+        ray.data.from_arrow(t).repartition(7),
+        {"en": 500, "de": 0}).take_all()}
+    assert r1 == r2                      # partitioning-independent
+    assert all(d % 2 == 0 for d in r1)   # de rate 0 -> only en docs
+    assert 0.35 < len(r1) / 500 < 0.65   # ~half of the en docs
