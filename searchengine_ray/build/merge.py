@@ -61,10 +61,28 @@ def _list_array(values, offsets: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
+def _cast_doc32(tbl: pa.Table) -> pa.Table:
+    """Narrow the spill doc-id payload to int32 (halves the exchange's
+    dominant column) — only valid when every doc id fits, which the
+    build driver decides ONCE from the planned corpus size so all spill
+    files in a build share one schema. ShardWriter re-widens to int64
+    numpy before encoding, so final shards are byte-identical."""
+    fields = []
+    for f in tbl.schema:
+        if f.name == "doc_ids":
+            fields.append(pa.field("doc_ids", pa.list_(pa.int32())))
+        elif f.name == "first_doc":
+            fields.append(pa.field("first_doc", pa.int32()))
+        else:
+            fields.append(f)
+    return tbl.cast(pa.schema(fields))
+
+
 def local_postings_batch(
     tok: pa.Table,
     boundaries: list[str],
     hot_salt_of: dict[str, int],
+    doc32: bool = False,
 ) -> pa.Table:
     """Doc-major tokenized block → one locally-aggregated row per
     (term[, salt]) — the SPIMI block as an Arrow table."""
@@ -90,7 +108,8 @@ def local_postings_batch(
     flat = pa.table(cols)
     n = flat.num_rows
     if n == 0:
-        return _empty_local_table("tf_weight" in cols, "positions" in cols)
+        empty = _empty_local_table("tf_weight" in cols, "positions" in cols)
+        return _cast_doc32(empty) if doc32 else empty
 
     # group by term via integer codes + stable argsort (strings hashed
     # ONCE via dictionary_encode); stability keeps docs ascending within
@@ -141,7 +160,7 @@ def local_postings_batch(
 
     if hot_salt_of:
         tbl = _salt_hot_rows(tbl, hot_salt_of)
-    return tbl
+    return _cast_doc32(tbl) if doc32 else tbl
 
 
 def _empty_local_table(has_w: bool, has_p: bool) -> pa.Table:
@@ -266,10 +285,11 @@ class SpillWriter:
     """
 
     def __init__(self, spill_dir: str, boundaries: list[str],
-                 hot_salt_of: dict[str, int]):
+                 hot_salt_of: dict[str, int], doc32: bool = False):
         self.spill_dir = spill_dir
         self.boundaries = boundaries
         self.hot_salt_of = hot_salt_of
+        self.doc32 = doc32
         os.makedirs(spill_dir, exist_ok=True)
 
     def _stats(self, path: str, tbl: pa.Table) -> pa.Table:
@@ -319,7 +339,8 @@ class SpillWriter:
             )
         if os.path.exists(path):
             return self.stats_of_existing(path)
-        tbl = local_postings_batch(tok, self.boundaries, self.hot_salt_of)
+        tbl = local_postings_batch(tok, self.boundaries, self.hot_salt_of,
+                                   doc32=self.doc32)
         tbl = tbl.sort_by(
             [("gkey", "ascending"), ("term", "ascending"),
              ("first_doc", "ascending")]

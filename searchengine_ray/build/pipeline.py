@@ -293,6 +293,9 @@ def build_index(
             cfg, tok_dir, spill_dir, boundaries, hot_salt_of,
             id_column=id_column, text_column=text_column,
             url_column=url_column,
+            # narrow spill doc ids to int32 when every planned doc id
+            # fits — one schema per build, final shards byte-identical
+            doc32=n_input_rows < 2**31,
         ),
         batch_size=None,
         batch_format="pyarrow",
@@ -301,6 +304,12 @@ def build_index(
     metrics["tokenize_sec"] = round(time.perf_counter() - t0, 3)
     metrics["tokenize_fragments"] = len(frags)
     metrics["tokenize_fragments_resumed"] = len(frags) - len(pending)
+    # per-phase worker-seconds summed over fragments (wall ≈ sum/cpus):
+    # locates regressions inside the fused task without a profiler run
+    for col, name in (("t_read", "read"), ("t_tok", "tokenize"),
+                      ("t_ckpt", "checkpoint"), ("t_spill", "spill")):
+        metrics[f"wave_{name}_cpu_sec"] = round(
+            sum(r.get(col) or 0.0 for r in spill_stats), 3)
 
     # -- 4. corpus stats from the per-fragment sidecars (no extra pass).
     # Small builds fold serially; big builds fold with ONE distributed

@@ -105,7 +105,10 @@ def materialize_bench_corpus(
             chunks.append(base.set_column(0, "url", urls))
         tbl = pa.concat_tables(chunks)
         tmp = str(p) + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=len(tbl))
+        # one row group per replica so plan_fragments can split files
+        # into balanced sub-file fragments (row groups are the smallest
+        # schedulable read unit)
+        pq.write_table(tbl, tmp, row_group_size=base.num_rows)
         os.replace(tmp, p)
     return sorted(paths)
 
