@@ -494,25 +494,10 @@ def _q_multimodal_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
-def _materialized(ds, schema: dict) -> pa.Table:
-    """Small verified-pair outputs → concrete table with an explicit
-    schema (join stages can emit schemaless empty blocks that would
-    otherwise poison the concat)."""
-    rows = ds.take_all()
-    return pa.table({
-        name: pa.array([r[name] for r in rows], typ)
-        for name, typ in schema.items()
-    })
-
-
 def _q_jaccard_dedup(sf_dir: str):
     from searchengine_ray.pipelines.dedup import jaccard_verified_pairs
 
-    return _materialized(
-        jaccard_verified_pairs(_docs_ds(sf_dir)),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(),
-         "n_inter": pa.int64(), "n_union": pa.int64()},
-    )
+    return jaccard_verified_pairs(_docs_ds(sf_dir))
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -521,10 +506,7 @@ def _q_embedding_near_dup(sf_dir: str):
     from searchengine_ray.pipelines.similarity import embedding_near_dup
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return _materialized(
-        embedding_near_dup(ds, threshold=0.3),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), "sim_q2": pa.int64()},
-    )
+    return embedding_near_dup(ds, threshold=0.3)
 
 
 SAMPLE_RATES = {"en": 500, "de": 300, "fr": 300, "es": 200, "pt": 100}
@@ -546,7 +528,8 @@ def _q_curate_corpus(sf_dir: str):
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return curate_corpus(_docs_ds(sf_dir),
-                         out_dir=f"/tmp/graft_curated_{key}")
+                         out_dir=f"/tmp/graft_curated_{key}",
+                         overwrite=True)
 
 
 def _q_dup_clusters(sf_dir: str):

@@ -124,6 +124,11 @@ def cmd_eval(args) -> int:
     if args.qrels_txt:
         out = evaluate_relevance_file(s, args.qrels_txt, n=args.n)
     else:
+        if not (args.queries and args.qrels):
+            raise SystemExit(
+                "eval needs either --qrels-txt or BOTH --queries and "
+                "--qrels"
+            )
         queries = {
             int(r["query_id"]): r["query"]
             for r in pq.read_table(args.queries).to_pylist()

@@ -48,15 +48,35 @@ def load_relevance_txt(path: str) -> list[tuple[str, dict[str, int]]]:
     lines with rel ∈ {1,2,3}. → ordered [(query, {external_id: rel})]."""
     out: list[tuple[str, dict[str, int]]] = []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if not line.strip():
                 continue
             if line.startswith("Q:"):
-                out.append((line[2:], {}))
-            else:
-                doc, rel = line.split("\t")
-                out[-1][1][doc] = int(rel)
+                # reference strips the query text (efficiency.py:
+                # line.split(':')[1].strip()) — trailing whitespace must
+                # not change the query sent to the searcher
+                out.append((line[2:].strip(), {}))
+                continue
+            if not out:
+                raise ValueError(
+                    f"{path}:{lineno}: relevance line {line!r} before any "
+                    "'Q:' query block"
+                )
+            parts = line.split("\t")
+            if len(parts) < 2 or not parts[0]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected '<external_id>\\t<rel>', "
+                    f"got {line!r}"
+                )
+            try:
+                rel = int(parts[1])
+            except ValueError:
+                raise ValueError(
+                    f"{path}:{lineno}: relevance {parts[1]!r} is not an "
+                    f"integer in line {line!r}"
+                ) from None
+            out[-1][1][parts[0]] = rel
     return out
 
 

@@ -10,6 +10,8 @@ total (the dedup groupby); everything else is per-batch Arrow kernels.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -59,12 +61,25 @@ class CurateStage:
         })
 
 
-def curate_corpus(docs_ds, out_dir: str | None = None):
+def curate_corpus(docs_ds, out_dir: str | None = None, *,
+                  overwrite: bool = False):
     """→ Dataset (doc_id, lang_pred, n_tokens) of surviving docs:
     rule-filtered AND exact-deduplicated (min doc_id per fingerprint
     wins — ONE keyed shuffle). With ``out_dir``, the survivors are
     also written as parquet PARTITIONED BY LANGUAGE (one directory per
-    lang — the resumable/restartable output layout)."""
+    lang — the resumable/restartable output layout).
+
+    The write STREAMS into a temp dir beside ``out_dir`` and is
+    published by one atomic rename — no full-dataset materialization
+    barrier, and a rerun can never see (or append into) a half-written
+    output. Replacing an existing ``out_dir`` requires an explicit
+    ``overwrite=True`` (a typo'd path must not silently lose data)."""
+    if out_dir is not None and os.path.isdir(out_dir) and os.listdir(out_dir) \
+            and not overwrite:
+        raise ValueError(
+            f"curate_corpus out_dir {out_dir!r} exists and is not empty; "
+            "pass overwrite=True to replace it"
+        )
     staged = docs_ds.map_batches(
         CurateStage, batch_format="pyarrow", num_cpus=1,
         concurrency=_concurrency(),
@@ -79,13 +94,29 @@ def curate_corpus(docs_ds, out_dir: str | None = None):
         dedup_group, batch_format="pyarrow"
     )
     if out_dir is not None:
+        import glob
         import shutil
 
-        out = out.materialize()
-        # fresh write: write_parquet APPENDS into an existing dir, which
-        # would duplicate survivors on a rerun
-        shutil.rmtree(out_dir, ignore_errors=True)
-        out.write_parquet(out_dir, partition_cols=["lang_pred"])
+        import ray.data
+
+        tmp_dir = out_dir.rstrip("/") + f".tmp{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        out.write_parquet(tmp_dir, partition_cols=["lang_pred"])
+        if os.path.isdir(out_dir):
+            if not overwrite:  # re-check: racing writer created it
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                raise ValueError(
+                    f"curate_corpus out_dir {out_dir!r} appeared during the "
+                    "write; pass overwrite=True to replace it"
+                )
+            shutil.rmtree(out_dir)
+        os.replace(tmp_dir, out_dir)
+        if glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                     recursive=True):
+            # serve the published files — the caller's reads don't
+            # re-execute the whole pipeline
+            return ray.data.read_parquet(out_dir)
     return out
 
 

@@ -203,14 +203,26 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def bucket_pairs_group(group: pa.Table, max_bucket: int = 200) -> pa.Table:
+def bucket_pairs_group(group: pa.Table, max_bucket: int = 200,
+                       truncated_keys: dict[int, np.ndarray] | None = None,
+                       ) -> pa.Table:
     """One LSH bucket → candidate pairs (doc_a < doc_b), vectorized
     upper-triangle. Buckets larger than ``max_bucket`` are truncated to
     their smallest doc ids (flagged via ``truncated``, no silent cap).
 
     When the group carries ``all_buckets`` vectors, a pair is emitted
     ONLY if this group's band is the pair's first colliding band —
-    making the union over all groups distinct with no extra shuffle."""
+    making the union over all groups distinct with no extra shuffle.
+
+    ``truncated_keys`` (band → sorted bucket values over the cap,
+    computed globally by ``minhash_candidates(strict_truncation=True)``)
+    repairs the first-band/truncation interaction: a pair whose first
+    colliding band truncated one member would otherwise never be
+    claimed by any group. With the set available, first-band is
+    computed over UNTRUNCATED colliding bands only; pairs whose every
+    colliding band is truncated are emitted by each truncated band
+    where both members survive (possible duplicates, all flagged
+    ``truncated`` — completeness over exact-once for the skewed tail)."""
     raw = group["doc_id"].to_numpy(zero_copy_only=False)
     docs, first_idx = np.unique(raw, return_index=True)
     truncated = docs.size > max_bucket
@@ -224,8 +236,25 @@ def bucket_pairs_group(group: pa.Table, max_bucket: int = 200) -> pa.Table:
         mat = np.asarray(ab.values, dtype=np.int64).reshape(len(raw), -1)
         mat = mat[first_idx]
         eq = mat[iu] == mat[ju]                       # (P, BANDS)
-        first_band = eq.argmax(axis=1)                # first colliding band
-        hit = first_band == band
+        if truncated_keys is None:
+            hit = eq.argmax(axis=1) == band           # first colliding band
+        else:
+            n_bands = eq.shape[1]
+            trunc = np.zeros_like(eq)
+            for b, vals in truncated_keys.items():
+                if len(vals):
+                    trunc[:, b] = np.isin(mat[iu][:, b], vals) & eq[:, b]
+            ok = eq & ~trunc
+            any_ok = ok.any(axis=1)
+            # first UNtruncated colliding band claims the pair; if every
+            # colliding band is truncated, each truncated band where
+            # both members survived emits it (duplicates possible)
+            hit = np.where(
+                any_ok,
+                np.where(ok, np.arange(n_bands)[None, :], n_bands).min(axis=1)
+                == band,
+                trunc[:, band] if band < n_bands else False,
+            )
         iu, ju = iu[hit], ju[hit]
     return pa.table(
         {
@@ -305,16 +334,61 @@ def exact_dedup(docs_ds):
     )
 
 
-def minhash_candidates(docs_ds):
+def minhash_candidates(docs_ds, strict_truncation: bool = False,
+                       max_bucket: int = 200):
     """→ Dataset of distinct candidate pairs (doc_a, doc_b, truncated).
     ONE all-to-all: the first-colliding-band rule inside each bucket
     group makes pairs globally unique without a dedup shuffle. The
     ``truncated`` flag marks pairs from capped (skew-truncated) buckets
     — kept in the output so every block has one schema (a trailing
-    projection leaves Ray's empty sort-partition blocks unprojected)."""
+    projection leaves Ray's empty sort-partition blocks unprojected).
+
+    ``strict_truncation=True`` adds a second (pre-aggregated, tiny-row)
+    all-to-all that counts bucket members globally and broadcasts the
+    over-cap (band, bucket) set, so a pair whose FIRST colliding band
+    truncated one member is still claimed by its first untruncated
+    band (the default single-shuffle mode silently loses such pairs —
+    only relevant under heavy bucket skew)."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    return bands.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs_group, batch_format="pyarrow"
+    return candidates_from_bands(bands, max_bucket=max_bucket,
+                                 strict_truncation=strict_truncation)
+
+
+def candidates_from_bands(bands_ds, max_bucket: int = 200,
+                          strict_truncation: bool = False):
+    """(band, bucket, doc_id, all_buckets) rows → distinct candidate
+    pairs; the groupby + first-colliding-band core shared by the
+    MinHash path (and testable with synthetic band layouts)."""
+    trunc_ref = None
+    if strict_truncation:
+        import ray
+        from ray.data.aggregate import Count
+
+        over = (
+            bands_ds.groupby(["band", "bucket"])
+            .aggregate(Count(alias_name="cnt"))
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["cnt"], max_bucket)),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )  # bounded: only buckets over the skew cap come back
+        keys: dict[int, np.ndarray] = {}
+        for r in over:
+            keys.setdefault(int(r["band"]), []).append(int(r["bucket"]))
+        trunc_ref = ray.put({b: np.sort(np.asarray(v, np.int64))
+                             for b, v in keys.items()})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        tk = None
+        if trunc_ref is not None:
+            import ray
+            tk = ray.get(trunc_ref)
+        return bucket_pairs_group(group, max_bucket=max_bucket,
+                                  truncated_keys=tk)
+
+    return bands_ds.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow"
     )
 
 
@@ -346,6 +420,9 @@ def jaccard_verified_pairs(docs_ds, min_num: int = 1, min_den: int = 2):
     rounding at the knife edge). Texts reach the verify stage through
     two hash joins (pairs are the small side; no full-corpus
     materialization)."""
+    from searchengine_ray.pipelines.similarity import autoscale_partitions
+
+    nparts = autoscale_partitions()
     cand = minhash_candidates(docs_ds)
     da = docs_ds.map_batches(
         lambda b: pa.table({"jda": b["doc_id"], "text_a": b["text"]}),
@@ -355,9 +432,9 @@ def jaccard_verified_pairs(docs_ds, min_num: int = 1, min_den: int = 2):
         lambda b: pa.table({"jdb": b["doc_id"], "text_b": b["text"]}),
         batch_format="pyarrow",
     )
-    j = cand.join(da, join_type="inner", num_partitions=4,
+    j = cand.join(da, join_type="inner", num_partitions=nparts,
                   on=("doc_a",), right_on=("jda",))
-    j = j.join(db, join_type="inner", num_partitions=4,
+    j = j.join(db, join_type="inner", num_partitions=nparts,
                on=("doc_b",), right_on=("jdb",))
 
     def verify(b: pa.Table) -> pa.Table:

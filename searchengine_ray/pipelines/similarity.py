@@ -23,6 +23,17 @@ _N_PLANES = 12
 _N_TABLES = 4
 
 
+def autoscale_partitions(floor: int = 4) -> int:
+    """Shuffle-partition count for the verify hash joins: at least the
+    cluster's CPU count (a hardcoded small constant starves a real
+    cluster; pair volumes at 100 TB need the fan-out)."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() \
+        else 4
+    return max(floor, n)
+
+
 def autoscale_concurrency(cap: int | None = None) -> tuple[int, int]:
     """Actor-pool size range (1, #CPUs) — lets Ray grow the pool to the
     node instead of starving a 32-CPU box with a hardcoded constant,
@@ -168,11 +179,15 @@ def ivf_build(embeddings_ds, out_dir: str, n_centroids: int = 16,
     import shutil
 
     manifest_path = os.path.join(out_dir, "ivf_manifest.json")
+    n_total = embeddings_ds.count()
     if os.path.exists(manifest_path) and not overwrite:
         with open(manifest_path) as f:
-            return json.load(f)
-
-    n_total = embeddings_ds.count()
+            cached = json.load(f)
+        if cached.get("n_rows") == n_total:
+            return cached
+        # the embeddings set changed under an existing index dir (e.g.
+        # an explicit CLI --ivf-index) — serving the stale cells would
+        # be silently wrong; rebuild (cells are derived data)
     stride = max(1, n_total // sample_cap)
 
     def take_sample(batch: pa.Table) -> pa.Table:
@@ -421,11 +436,13 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
 
 
 def embedding_near_dup(embeddings_ds, threshold: float = 0.3,
-                       num_partitions: int = 4):
+                       num_partitions: int | None = None):
     """Embedding-cosine near-dup: hyperplane-LSH candidate pairs
     VERIFIED by exact cosine ≥ threshold → Dataset (doc_a, doc_b,
     sim_q2). Pairs are the small side of two hash joins; cosine is
     float64 over the raw embedding values."""
+    if num_partitions is None:
+        num_partitions = autoscale_partitions()
     cand = lsh_candidate_pairs(embeddings_ds, max_bucket=500)
 
     def pack(b: pa.Table, id_name: str, emb_name: str) -> pa.Table:

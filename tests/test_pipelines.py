@@ -392,3 +392,59 @@ def test_stratified_sample_deterministic(ray_session):
     assert r1 == r2                      # partitioning-independent
     assert all(d % 2 == 0 for d in r1)   # de rate 0 -> only en docs
     assert 0.35 < len(r1) / 500 < 0.65   # ~half of the en docs
+
+
+def test_strict_truncation_recovers_first_band_loss(ray_session):
+    """A pair whose FIRST colliding band truncated one member must still
+    be claimed by its first untruncated band under
+    strict_truncation=True (default single-shuffle mode loses it)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import candidates_from_bands
+
+    # docs 1,2,3 share band-0 bucket 10 (over the cap of 2 -> doc 3
+    # truncated there); docs 2,3 also share band-1 bucket 20
+    ab = {1: [10, 99], 2: [10, 20], 3: [10, 20]}
+    rows = []
+    for doc, buckets in ab.items():
+        for band, bucket in enumerate(buckets):
+            rows.append({"band": band, "bucket": bucket, "doc_id": doc,
+                         "all_buckets": buckets})
+    t = pa.table({
+        "band": pa.array([r["band"] for r in rows], pa.int32()),
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "all_buckets": pa.array([r["all_buckets"] for r in rows],
+                                pa.list_(pa.int64(), 2)),
+    })
+    bands = ray.data.from_arrow(t)
+
+    default = {(r["doc_a"], r["doc_b"])
+               for r in candidates_from_bands(bands, max_bucket=2).take_all()}
+    strict = {(r["doc_a"], r["doc_b"])
+              for r in candidates_from_bands(
+                  bands, max_bucket=2, strict_truncation=True).take_all()}
+    assert default == {(1, 2)}            # (2,3) lost to first-band rule
+    assert strict == {(1, 2), (2, 3)}     # recovered; (1,3) unrecoverable
+                                          # (member dropped in its only band)
+
+
+def test_curate_overwrite_guard(ray_session, tmp_path):
+    """curate_corpus must refuse to replace an existing non-empty
+    out_dir without overwrite=True (and honor it when passed)."""
+    from searchengine_ray.pipelines.curate import curate_corpus
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog today")]
+    out_dir = tmp_path / "curated"
+    out_dir.mkdir()
+    (out_dir / "precious.txt").write_text("user data")
+
+    with pytest.raises(ValueError, match="overwrite"):
+        curate_corpus(_docs_from(rows), out_dir=str(out_dir))
+    assert (out_dir / "precious.txt").exists()   # nothing touched
+
+    out = curate_corpus(_docs_from(rows), out_dir=str(out_dir),
+                        overwrite=True).take_all()
+    assert {r["doc_id"] for r in out} == {0}
+    assert not (out_dir / "precious.txt").exists()
+    assert os.path.isdir(out_dir / "lang_pred=en")
