@@ -452,7 +452,123 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# -- German (Snowball) -----------------------------------------------------
+# Clean-room implementation of the published Snowball German stemming
+# algorithm (snowballstem.org, "The German stemming algorithm") — the
+# same public spec nltk's SnowballStemmer('german') implements
+# (reference tokenizer.py:24-33 accepts any Snowball language name).
+# Includes the spec's refinements: the 'syst'-exception on -em and the
+# -niss s-drop after removing e/en/es.
+
+_G_VOWELS = frozenset("aeiouyäöü")
+_G_S_ENDINGS = frozenset("bdfghklmnrt")
+_G_ST_ENDINGS = frozenset("bdfghklmnt")
+
+
+def _g_mark(word: str) -> str:
+    """ß→ss; u/y BETWEEN vowels upper-cased so they count as consonants
+    (spec pre-step)."""
+    word = word.replace("ß", "ss")
+    if len(word) < 3:
+        return word
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in ("u", "y") and word[i - 1] in _G_VOWELS \
+                and word[i + 1] in _G_VOWELS:
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def _g_regions(word: str) -> tuple[int, int]:
+    """(r1, r2) start indexes; r1 additionally moved right so at least
+    3 letters precede it (spec: 'the region before R1 … at least 3
+    letters')."""
+    n = len(word)
+
+    def after_first_nonvowel_after_vowel(start: int) -> int:
+        i = start
+        while i < n and word[i] not in _G_VOWELS:
+            i += 1
+        while i < n and word[i] in _G_VOWELS:
+            i += 1
+        return min(n, i + 1) if i < n else n
+
+    r1 = after_first_nonvowel_after_vowel(0)
+    r2 = after_first_nonvowel_after_vowel(r1)
+    return max(r1, 3), r2
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stem of a lower-case word."""
+    w = _g_mark(word.lower())
+    r1, r2 = _g_regions(w)
+
+    def in_r1(suffix: str) -> bool:
+        return len(w) - len(suffix) >= r1
+
+    def in_r2(suffix: str) -> bool:
+        return len(w) - len(suffix) >= r2
+
+    # Step 1 — longest of: (a) em ern er, (b) e en es, (c) s
+    if w.endswith("ern") and in_r1("ern"):
+        w = w[:-3]
+    elif w.endswith("em") and in_r1("em") and not w[:-2].endswith("syst"):
+        w = w[:-2]
+    elif w.endswith("er") and in_r1("er"):
+        w = w[:-2]
+    elif w.endswith(("en", "es")) and in_r1("en"):
+        w = w[:-2]
+        if w.endswith("niss"):   # spec: e.g. verständnisse → verständnis
+            w = w[:-1]
+    elif w.endswith("e") and in_r1("e"):
+        w = w[:-1]
+        if w.endswith("niss"):
+            w = w[:-1]
+    elif w.endswith("s") and in_r1("s") and len(w) >= 2 \
+            and w[-2] in _G_S_ENDINGS:
+        w = w[:-1]
+
+    # Step 2 — longest of: (a) en er est, (b) st
+    if w.endswith("est") and in_r1("est"):
+        w = w[:-3]
+    elif w.endswith(("en", "er")) and in_r1("en"):
+        w = w[:-2]
+    elif w.endswith("st") and in_r1("st") and len(w) >= 6 \
+            and w[-3] in _G_ST_ENDINGS:
+        w = w[:-2]
+
+    # Step 3 — d-suffixes
+    if w.endswith(("end", "ung")):
+        if in_r2("end"):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2("ig") and not w[:-2].endswith("e"):
+                w = w[:-2]
+    elif w.endswith(("ig", "ik")):
+        if in_r2("ig") and not w[:-2].endswith("e"):
+            w = w[:-2]
+    elif w.endswith("isch"):
+        if in_r2("isch") and not w[:-4].endswith("e"):
+            w = w[:-4]
+    elif w.endswith(("lich", "heit")):
+        if in_r2("lich"):
+            w = w[:-4]
+            if w.endswith(("er", "en")) and in_r1("er"):
+                w = w[:-2]
+    elif w.endswith("keit"):
+        if in_r2("keit"):
+            w = w[:-4]
+            if w.endswith("lich") and in_r2("lich"):
+                w = w[:-4]
+            elif w.endswith("ig") and in_r2("ig"):
+                w = w[:-2]
+
+    # Post: unmark U/Y, strip umlauts
+    return (w.replace("U", "u").replace("Y", "y")
+             .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
 STEMMERS = {
-    "english": stem,       # Porter2 (Snowball English)
+    "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
+    "german": german_stem,  # Snowball German
 }

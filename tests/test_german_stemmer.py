@@ -1,0 +1,158 @@
+"""Snowball German stemmer: vocabulary pinned from hand-traces of the
+published algorithm (snowballstem.org, "The German stemming algorithm"
+— no stemmer package ships in this container, so each expected value
+below was derived by hand-executing the spec's steps and annotating the
+rule exercised), plus an end-to-end German index + search round trip
+(reference accepts any Snowball language, tokenizer.py:24-33)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.text.stemmer import german_stem
+
+# (word, expected, rule exercised)
+VOCAB = [
+    # step 1 (a): em / ern / er
+    ("aufeinander", "aufeinand", "er in R1"),
+    ("häuser", "haus", "er + umlaut removal"),
+    ("häusern", "haus", "ern"),
+    ("kinder", "kind", "er"),
+    ("kindern", "kind", "ern"),
+    ("diesem", "dies", "em"),
+    ("einem", "ein", "em"),
+    ("keinem", "kein", "em"),
+    ("unserem", "uns", "em then step-2 er"),
+    ("system", "system", "em blocked by the syst exception"),
+    ("systeme", "system", "e; em exception keeps the rest"),
+    ("systemen", "system", "en"),
+    # step 1 (b): e / en / es (+ niss rule)
+    ("katzen", "katz", "en"),
+    ("bibliotheken", "bibliothek", "en"),
+    ("aalen", "aal", "en"),
+    ("aale", "aal", "e"),
+    ("jahre", "jahr", "e"),
+    ("jahren", "jahr", "en"),
+    ("kindes", "kind", "es"),
+    ("hauses", "haus", "es"),
+    ("reise", "reis", "e"),
+    ("reisen", "reis", "en"),
+    ("feinden", "feind", "en"),
+    ("lernen", "lern", "en"),
+    ("lernte", "lernt", "e"),
+    ("stücke", "stuck", "e + umlaut"),
+    ("verständnisse", "verstandnis", "e + niss s-drop"),
+    ("verständnisses", "verstandnis", "es + niss s-drop"),
+    # step 1 (c): s after a valid s-ending
+    ("kinds", "kind", "s after d"),
+    ("abends", "abend", "s after d"),
+    ("haus", "haus", "s after u: invalid s-ending, kept"),
+    ("schloß", "schloss", "ß→ss; s after s invalid"),
+    # u/y between vowels marked as consonants
+    ("bauer", "bau", "U-marking makes er reachable"),
+    ("frauen", "frau", "U-marking"),
+    ("treuen", "treu", "U-marking"),
+    ("abenteuer", "abenteu", "U-marking"),
+    ("bayern", "bay", "Y-marking"),
+    # step 2: en / er / est / st
+    ("schnellste", "schnell", "e then st after l"),
+    ("fliegst", "flieg", "st after g with ≥3 before"),
+    ("gibst", "gibst", "st blocked: only 2 letters before b"),
+    ("holst", "holst", "st blocked: l at index 2"),
+    ("lernt", "lernt", "bare -t is never removed"),
+    ("gelernt", "gelernt", "bare -t is never removed"),
+    ("größte", "grosst", "e; st blocked after s"),
+    ("wunderbaren", "wunderbar", "en"),
+    # step 3 d-suffixes: end/ung, ig/ik/isch, lich/heit, keit
+    ("arbeitend", "arbeit", "end in R2"),
+    ("arbeitende", "arbeit", "e then end"),
+    ("wütend", "wutend", "end not in R2"),
+    ("abend", "abend", "end not in R2"),
+    ("verarbeitung", "verarbeit", "ung in R2"),
+    ("verarbeitungen", "verarbeit", "en then ung"),
+    ("regierung", "regier", "ung in R2"),
+    ("hoffnung", "hoffnung", "ung not in R2"),
+    ("achtung", "achtung", "ung not in R2"),
+    ("übung", "ubung", "ung not in R2 (short word)"),
+    ("ewig", "ewig", "ig not in R2"),
+    ("ewige", "ewig", "e; ig not in R2"),
+    ("elektrisch", "elektr", "isch in R2"),
+    ("elektrische", "elektr", "e then isch"),
+    ("praktisch", "praktisch", "isch not in R2"),
+    ("technische", "technisch", "e; isch not in R2"),
+    ("herzlich", "herzlich", "lich not in R2"),
+    ("herzlichen", "herzlich", "en; lich not in R2"),
+    ("natürlich", "natur", "lich in R2 + umlaut"),
+    ("freundliches", "freundlich", "es; lich not in R2"),
+    ("zufriedenheit", "zufried", "heit in R2 then en in R1"),
+    ("schönheit", "schonheit", "heit not in R2"),
+    ("möglichkeit", "moglich", "keit in R2; lich not in R2"),
+    ("wahrscheinlichkeit", "wahrschein", "keit then lich, both R2"),
+    ("fähigkeit", "fahig", "keit in R2; ig not in R2"),
+    ("ewigkeit", "ewig", "keit in R2; ig not in R2"),
+    ("schwierigkeiten", "schwierig", "en, keit; ig not in R2"),
+    # no applicable suffixes
+    ("buch", "buch", "no suffix"),
+    ("bücher", "buch", "er + umlaut"),
+    ("deutschland", "deutschland", "no suffix"),
+    ("fußball", "fussball", "ß→ss only"),
+    ("mädchen", "madch", "en (chen is not protected)"),
+    ("endung", "endung", "ung not in R2"),
+    ("kleidung", "kleidung", "ung not in R2"),
+]
+
+
+@pytest.mark.parametrize("word,expected,rule", VOCAB,
+                         ids=[w for w, _, _ in VOCAB])
+def test_german_vocabulary(word, expected, rule):
+    assert german_stem(word) == expected, rule
+
+
+def test_german_regions_and_marking():
+    from searchengine_ray.text.stemmer import _g_mark, _g_regions
+
+    assert _g_mark("bauer") == "baUer"
+    assert _g_mark("bayern") == "baYern"
+    assert _g_mark("quelle") == "quelle"       # u not between vowels
+    assert _g_mark("groß") == "gross"
+    # R1 adjusted to leave >=3 letters before it
+    r1, _ = _g_regions("esse")
+    assert r1 == 3
+
+
+def test_german_index_end_to_end(ray_session, tmp_path):
+    """Build a German-language index and verify stemmed matching: a
+    query inflection retrieves docs containing other inflections of the
+    same stem; manifest records the language."""
+    import pyarrow as pa
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+
+    rows = [
+        ("https://de.test/0", "die häuser der stadt sind alt"),
+        ("https://de.test/1", "ein haus mit garten"),
+        ("https://de.test/2", "wir lernen die verarbeitung der daten"),
+        ("https://de.test/3", "verarbeitungen laufen auf dem cluster"),
+        ("https://de.test/4", "katzen und hunde spielen"),
+    ]
+    tbl = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(language="german", num_shards=2,
+                                      use_stop_words=False))
+
+    s = Searcher(idx)
+    assert s.manifest["tokenizer"]["language"] == "german"
+    # häusern stems to haus -> must hit both the "häuser" and "haus" docs
+    res = s.search("häusern", 10, with_urls=True)
+    urls = set(res["url"].to_pylist())
+    assert {"https://de.test/0", "https://de.test/1"} <= urls
+    # verarbeitung/verarbeitungen share the stem verarbeit
+    res2 = s.search("verarbeitung", 10, with_urls=True)
+    urls2 = set(res2["url"].to_pylist())
+    assert {"https://de.test/2", "https://de.test/3"} <= urls2

@@ -14,11 +14,12 @@ from searchengine_ray.text.tokenizer import Tokenizer
 
 def test_unsupported_language_raises():
     with pytest.raises(ValueError, match="unsupported stemmer language"):
-        Tokenizer(language="french")
+        Tokenizer(language="french")   # not implemented (yet)
     with pytest.raises(ValueError, match="unsupported stemmer language"):
         Tokenizer(language="klingon")
     Tokenizer(language="english")  # ok (Porter2)
     Tokenizer(language="porter")   # ok (original Porter 1980)
+    Tokenizer(language="german")   # ok (Snowball German)
     Tokenizer(language=None)       # ok (no stemming)
 
 
