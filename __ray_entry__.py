@@ -398,6 +398,13 @@ def _q_search_tfidf(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(ranker=RankerType.TF_IDF)))
 
 
+def _q_search_bm25_german(sf_dir: str):
+    """BM25 over a German-stemmed index (Snowball German, round-3): the
+    same query suite, every term stemmed by text/stemmer.german_stem on
+    both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="german")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -588,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_cosine,
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
+        "search_bm25_german": _q_search_bm25_german,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -778,6 +786,10 @@ def oracle_sql() -> dict[str, str]:
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_german"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="german"),
+        DEFAULT_STOP_WORDS, TOPK
     )
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
