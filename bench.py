@@ -162,11 +162,12 @@ def run_bench() -> dict:
     ]
     t0 = time.perf_counter()
     # fixed pool: each serving actor pays a one-time posting-cache warm
-    # (the all-head-terms corpus makes that expensive), so more actors
-    # than ~queries/32 lose to warmup on this small query set
+    # (the all-head-terms corpus makes that expensive); a round-3 sweep
+    # put the knee at NUM_CPUS/2 actors × 32-query batches (batch-level
+    # query dedup makes larger batches strictly better)
     n_out = search_dataset(
         ray.data.from_items(qtbl), idx_dir, n=10,
-        concurrency=max(2, NUM_CPUS // 4), batch_size=16,
+        concurrency=max(2, NUM_CPUS // 2), batch_size=32,
     ).count()
     qps_sec = time.perf_counter() - t0
     detail["serving_queries_per_sec"] = round(len(qtbl) / qps_sec, 1)

@@ -202,10 +202,18 @@ class QueryActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores, urls = [], [], [], [], []
+        # dedup identical query strings within the batch: score once,
+        # fan the result out per query_id (identical output — real
+        # query streams repeat their head queries heavily)
+        res_of: dict[str, pa.Table] = {}
         for qid, query in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist()
         ):
-            res = self.searcher.search(query, self.n, with_urls=self.with_urls)
+            res = res_of.get(query)
+            if res is None:
+                res = res_of[query] = self.searcher.search(
+                    query, self.n, with_urls=self.with_urls
+                )
             m = res.num_rows
             qids.extend([qid] * m)
             ranks.extend(res["rank"].to_pylist())

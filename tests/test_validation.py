@@ -81,7 +81,8 @@ def test_manifest_records_supported_languages(small_index):
 
     _, idx = small_index
     m = load_manifest(idx)
-    assert m["tokenizer"]["supported_languages"] == ["english", "porter"]
+    assert m["tokenizer"]["supported_languages"] == \
+        ["english", "german", "porter"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):
@@ -234,3 +235,31 @@ def test_incremental_append_rebuilds_shards_reuses_tokenize(ray_session,
     ra = Searcher(idx).search("game player", 5)
     rb = Searcher(fresh).search("game player", 5)
     assert ra.equals(rb)
+
+
+def test_search_dataset_dedups_identical_queries(small_index):
+    """The serving actor scores each distinct query string once per
+    batch and fans the result out per query_id — output must be
+    identical to per-query scoring."""
+    import ray.data
+
+    from searchengine_ray.query.engine import Searcher, search_dataset
+
+    _, idx = small_index
+    qtbl = [{"query_id": i, "query": "games" if i % 2 else "gaming cafe"}
+            for i in range(12)]
+    rows = search_dataset(
+        ray.data.from_items(qtbl), idx, n=5, concurrency=2, batch_size=6,
+    ).take_all()
+    s = Searcher(idx)
+    want = {q: s.search(q, 5).to_pylist() for q in ("games", "gaming cafe")}
+    for i in range(12):
+        got = sorted(
+            ((r["rank"], r["doc_id"], r["score"]) for r in rows
+             if r["query_id"] == i)
+        )
+        expect = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in want["games" if i % 2 else "gaming cafe"]
+        )
+        assert got == expect, i
