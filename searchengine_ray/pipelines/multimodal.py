@@ -45,20 +45,33 @@ class BinaryFeatureStage:
                 "real image/audio decode requires PIL/ffmpeg — not in this "
                 "container; use decoder='fake' for the plumbing path"
             )
-        payloads = batch[self.column].to_pylist()
-        n_bytes = [len(p) if p is not None else 0 for p in payloads]
-        magic = [
-            (p[:4].hex() if p else "") for p in payloads
-        ]
+        import pyarrow.compute as pc
+
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # metadata via Arrow kernels: byte length from the offsets
+        # buffer, magic from a 4-byte kernel slice (the Python loop over
+        # the sliced heads touches ≤4 bytes/row, never the payloads)
+        n_bytes = pc.fill_null(pc.binary_length(col).cast(pa.int64()), 0)
+        head = pc.binary_slice(col.cast(pa.binary()), 0, 4)
+        magic = pa.array(
+            [h.hex() if h is not None else "" for h in head.to_pylist()],
+            pa.string(),
+        )
+        # md5 is inherently per-item — the only remaining per-payload
+        # loop (stands in for the real per-item decoder call)
         feats = [
-            _fake_features(p) if p else [0.0] * FEATURE_DIM for p in payloads
+            _fake_features(p) if p is not None and len(p) else
+            [0.0] * FEATURE_DIM
+            for p in col.to_pylist()
         ]
         cols = {}
         for name in batch.column_names:
             if name != self.column:  # drop the heavy payload after decode
                 cols[name] = batch[name]
-        cols["payload_bytes"] = pa.array(n_bytes, pa.int64())
-        cols["magic"] = pa.array(magic, pa.string())
+        cols["payload_bytes"] = n_bytes
+        cols["magic"] = magic
         cols["features"] = pa.array(feats, pa.list_(pa.float64(), FEATURE_DIM))
         return pa.table(cols)
 
