@@ -48,6 +48,68 @@ class RaggedPositions:
             yield self[i]
 
 
+class LazyEncodedPositions:
+    """Positions of one shard row kept ENCODED until someone asks: the
+    varbyte blob's per-value byte boundaries are recoverable without
+    decoding (the 0x80 terminator bit), and the per-doc value counts
+    are the tfs — so a pruned boost evaluation decodes only its ~top-n
+    candidate docs' byte ranges instead of the whole ~10^5-doc payload
+    (the round-2 cold-positional cost was exactly this eager decode)."""
+
+    __slots__ = ("buf", "lengths", "count_slots", "_ends")
+
+    def __init__(self, buf: bytes, lengths: np.ndarray):
+        self.buf = buf
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+        # value-slot layout per doc d: [count, gap1..gap_tf]
+        self.count_slots = np.concatenate(
+            ([0], np.cumsum(self.lengths + 1)[:-1])
+        )
+        self._ends = None
+
+    def _value_ends(self) -> np.ndarray:
+        if self._ends is None:
+            b = np.frombuffer(self.buf, dtype=np.uint8)
+            self._ends = np.flatnonzero(b & 0x80).astype(np.int64) + 1
+        return self._ends
+
+    def slices(self, rows: np.ndarray):
+        """→ (flat_abs_positions, lengths, starts) for the given doc
+        rows, in input order — decodes only those rows' bytes."""
+        from searchengine_ray.state.codec import vb_decode
+
+        rows = np.asarray(rows, dtype=np.int64)
+        len_sel = self.lengths[rows]
+        start_sel = np.concatenate(([0], np.cumsum(len_sel)[:-1]))
+        total = int(len_sel.sum())
+        if total == 0:
+            return (np.empty(0, np.int64), len_sel,
+                    np.zeros(rows.size, np.int64))
+        ends = self._value_ends()
+        bstarts = np.concatenate(([0], ends[:-1]))
+        nz = len_sel > 0
+        # byte range of row r's gap values: skip its count slot
+        b0 = bstarts[self.count_slots[rows[nz]] + 1]
+        b1 = ends[self.count_slots[rows[nz]] + len_sel[nz]]
+        blens = b1 - b0
+        tot_b = int(blens.sum())
+        # segmented byte gather → one small vb_decode
+        rep_off = np.repeat(np.concatenate(([0], np.cumsum(blens)[:-1])),
+                            blens)
+        src = np.repeat(b0, blens) + (np.arange(tot_b) - rep_off)
+        buf_np = np.frombuffer(self.buf, dtype=np.uint8)
+        gaps = vb_decode(buf_np[src].tobytes())
+        # segmented cumsum back to absolute positions
+        cs = np.cumsum(gaps)
+        prefix = np.concatenate(([0], cs))
+        flat = cs - np.repeat(prefix[start_sel], len_sel)
+        return flat.astype(np.int64), len_sel, start_sel
+
+    def materialize(self) -> "RaggedPositions":
+        f, ln, st = self.slices(np.arange(self.lengths.size))
+        return RaggedPositions(f, ln, st)
+
+
 class LazySaltedPositions:
     """Positions of a salted (merged) term WITHOUT the up-front gather:
     per-salt ragged arrays plus each merged row's (salt, within-salt
@@ -67,7 +129,9 @@ class LazySaltedPositions:
 
     def slices(self, rows: np.ndarray):
         """→ (flat_sel, len_sel, start_sel) for the given merged-row
-        indices, in input order."""
+        indices, in input order. Salt payloads may be still-encoded
+        (``LazyEncodedPositions``) — then each salt decodes exactly the
+        requested rows' bytes."""
         rows = np.asarray(rows, dtype=np.int64)
         len_sel = self.lengths[rows]
         start_sel = np.concatenate(([0], np.cumsum(len_sel)[:-1]))
@@ -76,8 +140,22 @@ class LazySaltedPositions:
         salts = self.src_salt[rows]
         for r in np.unique(salts):
             m = np.flatnonzero(salts == r)
-            f, ln, st = self.salt_rags[r]
+            rag = self.salt_rags[r]
             src = self.src_idx[rows[m]]
+            if isinstance(rag, LazyEncodedPositions):
+                f_r, lens_r, _ = rag.slices(src)   # already in src order
+                tot_r = int(lens_r.sum())
+                if tot_r == 0:
+                    continue
+                out_pos = np.repeat(start_sel[m], lens_r) + (
+                    np.arange(tot_r)
+                    - np.repeat(
+                        np.concatenate(([0], np.cumsum(lens_r)[:-1])),
+                        lens_r)
+                )
+                flat_sel[out_pos] = f_r
+                continue
+            f, ln, st = rag
             lens_r = ln[src]
             tot_r = int(lens_r.sum())
             if tot_r == 0:
@@ -130,7 +208,8 @@ class PostingsRec:
         if self.positions is None:
             return []
         if self._pos_of is None:
-            if isinstance(self.positions, LazySaltedPositions):
+            if isinstance(self.positions,
+                          (LazySaltedPositions, LazyEncodedPositions)):
                 self.positions = self.positions.materialize()
             self._pos_of = dict(zip(self.doc_ids.tolist(), self.positions))
         return self._pos_of.get(int(doc_id), [])
@@ -140,7 +219,8 @@ class PostingsRec:
         ragged positions arrays for vectorized proximity scoring."""
         if self.positions is None:
             return None
-        if isinstance(self.positions, LazySaltedPositions):
+        if isinstance(self.positions,
+                      (LazySaltedPositions, LazyEncodedPositions)):
             self.positions = self.positions.materialize()
         elif not isinstance(self.positions, RaggedPositions):
             lengths = np.asarray([len(p) for p in self.positions], np.int64)
@@ -158,7 +238,8 @@ class PostingsRec:
         of merging the whole position payload."""
         if self.positions is None:
             return None
-        if isinstance(self.positions, LazySaltedPositions):
+        if isinstance(self.positions,
+                      (LazySaltedPositions, LazyEncodedPositions)):
             return self.positions.slices(rows)
         f, ln, st = self.positions_ragged()
         rows = np.asarray(rows, dtype=np.int64)
@@ -182,12 +263,10 @@ def _decode_row(row: dict) -> PostingsRec:
         weights = np.asarray(row["weights"], dtype=np.float64)
     positions = None
     if row["positions_enc"]:
-        # tf == per-doc position count for positional postings → fully
-        # vectorized decode (no per-doc header walk)
-        positions = RaggedPositions(
-            *decode_positions_ragged(row["positions_enc"], len(doc_ids),
-                                     lengths=tfs)
-        )
+        # tf == per-doc position count for positional postings; keep the
+        # payload ENCODED — the pruned boost path decodes only its
+        # candidate docs' byte ranges (LazyEncodedPositions)
+        positions = LazyEncodedPositions(row["positions_enc"], tfs)
     return PostingsRec(
         term=row["term"], df=int(row["df"]), idf=float(row["idf"]),
         doc_ids=doc_ids, tfs=tfs, dls=dls, weights=weights, positions=positions,
@@ -209,11 +288,12 @@ def _merge_salted(recs: list[PostingsRec]) -> PostingsRec:
         weights = np.concatenate([r.weights for r in recs])[order]
     positions = None
     if recs[0].positions is not None:
-        # NO up-front gather: record each merged row's (salt, within-
-        # salt row); position payloads are fetched lazily per subset
-        # (LazySaltedPositions — the cold positional query only ever
-        # touches its pruned candidate docs)
-        rag = [r.positions_ragged() for r in recs]
+        # NO up-front gather OR decode: record each merged row's (salt,
+        # within-salt row); position payloads stay encoded per salt and
+        # are decoded lazily per subset (the cold positional query only
+        # ever touches its pruned candidate docs)
+        rag = [r.positions if isinstance(r.positions, LazyEncodedPositions)
+               else r.positions_ragged() for r in recs]
         counts = np.asarray([r.doc_ids.size for r in recs], np.int64)
         offs = np.concatenate(([0], np.cumsum(counts)))
         src_salt_c = np.repeat(np.arange(len(recs)), counts)

@@ -210,19 +210,24 @@ def _pair_boost_scores(rec1, rec2, qd: int, docs_sorted: np.ndarray):
     ``docs_sorted`` may be a SUBSET of the matched docs (boost pruning):
     common docs outside it are skipped — per-doc values are independent,
     so the survivors' floats are unchanged."""
-    common, i1, i2 = np.intersect1d(
-        rec1.doc_ids, rec2.doc_ids, assume_unique=True, return_indices=True
-    )
-    if common.size:
-        if docs_sorted.size == 0:
-            return None
-        pos = np.searchsorted(docs_sorted, common)
-        pos[pos >= docs_sorted.size] = docs_sorted.size - 1
-        keep = docs_sorted[pos] == common
-        if not keep.all():
-            common, i1, i2 = common[keep], i1[keep], i2[keep]
-    if common.size == 0:
+    if docs_sorted.size == 0 or rec1.doc_ids.size == 0 \
+            or rec2.doc_ids.size == 0:
         return None
+    # subset-first membership: probe the (often pruned, tiny) eval set
+    # into each term's doc array — O(|eval| log |postings|) instead of a
+    # full-list intersect1d sort. Same common docs in the same ascending
+    # order → float-op order identical to the reference loop.
+    i1 = np.searchsorted(rec1.doc_ids, docs_sorted)
+    np.clip(i1, 0, rec1.doc_ids.size - 1, out=i1)
+    keep = rec1.doc_ids[i1] == docs_sorted
+    i2 = np.searchsorted(rec2.doc_ids, docs_sorted)
+    np.clip(i2, 0, rec2.doc_ids.size - 1, out=i2)
+    keep &= rec2.doc_ids[i2] == docs_sorted
+    out_pos = np.flatnonzero(keep)
+    if out_pos.size == 0:
+        return None
+    common = docs_sorted[out_pos]
+    i1, i2 = i1[out_pos], i2[out_pos]
     # subset position gather — only the common docs' payloads move
     # (salted terms never materialize their full merged positions)
     p1c, len1, _ = rec1.positions_slices(i1)
@@ -252,7 +257,7 @@ def _pair_boost_scores(rec1, rec2, qd: int, docs_sorted: np.ndarray):
     pair_common = np.bincount(doc_of_p1, weights=per_pos1,
                               minlength=common.size)
     out = np.zeros(docs_sorted.size, np.float64)
-    out[np.searchsorted(docs_sorted, common)] = pair_common
+    out[out_pos] = pair_common
     return out
 
 
@@ -311,15 +316,20 @@ def boost_total_upper_bound(query_tokens: list[str], docs_sorted: np.ndarray,
         rec1 = recs.get(toks[a])
         if rec1 is None or rec1.positions is None:
             continue
+        amax_total = 0.0
         for b in range(a + 1, len(toks)):
             if toks[a] == toks[b]:
                 continue
             rec2 = recs.get(toks[b])
             if rec2 is None or rec2.positions is None:
                 continue
-            amax = _aux_max_of_qd(b - a + 1)
+            amax_total += _aux_max_of_qd(b - a + 1)
+        if amax_total > 0.0 and rec1.doc_ids.size:
+            # one probe per LEFT term, not per pair (the bound sums
+            # linearly over pairs for a fixed rec1); tiny inflation
+            # keeps the bound valid under float reassociation
             pos = np.searchsorted(docs_sorted, rec1.doc_ids)
-            ub[pos] += rec1.tfs_f64() * amax
+            ub[pos] += rec1.tfs_f64() * (amax_total * (1.0 + 1e-12))
     return ub
 
 
