@@ -539,6 +539,88 @@ def _q_curate_corpus(sf_dir: str):
                          overwrite=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import repetition_stats_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+HOST_CAP = 30
+
+
+def _q_host_cap(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import host_cap_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return host_cap_sample(ds, cap=HOST_CAP)
+
+
+def _q_pii_redact(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from searchengine_ray.pipelines.analysis import pii_redact_batch
+
+    def inject(b: pa.Table) -> pa.Table:
+        # deterministic PII derived from doc_id — matches the oracle's
+        # PII_TEXT_SQL expression exactly (no external data)
+        ids = b["doc_id"].cast(pa.string())
+        mod = pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 10000, pa.int64()
+        )
+        phone = pc.utf8_lpad(mod.cast(pa.string()), 4, padding="0")
+        text = pc.binary_join_element_wise(
+            b["text"], pa.array([" contact user"] * b.num_rows), ids,
+            pa.array(["@mail.example.com or call 555-"] * b.num_rows),
+            phone, "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return _docs_ds(sf_dir).map_batches(
+        inject, batch_format="pyarrow"
+    ).map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+PHRASE_QUERIES = [
+    "fast spark", "stream window group", "customer order line",
+    "value fast", "merge batch",
+]
+
+
+def _q_search_phrase(sf_dir: str):
+    """Exact phrase top-10 over the positional index (consecutive runs
+    of the stemmed token sequence), integer match counts — no float
+    compare at all."""
+    from searchengine_ray.config import PostingType, RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(
+        sf_dir,
+        _full_cfg(ranker=RankerType.BM25_OPTIMIZED,
+                  posting_type=PostingType.POSITIONAL),
+    )
+    s = Searcher(idx)
+    qids, ranks, docs, matches = [], [], [], []
+    for qid, q in enumerate(PHRASE_QUERIES):
+        t = s.search_phrase(q, TOPK)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        matches.extend(t["n_matches"].to_pylist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_matches": pa.array(matches, pa.int64()),
+    })
+
+
 def _q_dup_clusters(sf_dir: str):
     from searchengine_ray.pipelines.clusters import dup_clusters
     from searchengine_ray.pipelines.dedup import minhash_candidates
@@ -596,6 +678,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
         "search_bm25_german": _q_search_bm25_german,
+        "search_phrase": _q_search_phrase,
+        "repetition_stats": _q_repetition_stats,
+        "host_cap": _q_host_cap,
+        "pii_redact": _q_pii_redact,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -791,6 +877,17 @@ def oracle_sql() -> dict[str, str]:
         pclass, SEARCH_QUERIES, _full_cfg(language="german"),
         DEFAULT_STOP_WORDS, TOPK
     )
+    out["search_phrase"] = oracles.sql_search_phrase(
+        pclass, PHRASE_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["repetition_stats"] = oracles.sql_repetition_stats(pclass)
+    out["host_cap"] = oracles.sql_host_cap(HOST_CAP)
+    from searchengine_ray.pipelines.analysis import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    out["pii_redact"] = oracles.sql_pii_redact(PII_EMAIL_RE, PII_PHONE_RE)
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

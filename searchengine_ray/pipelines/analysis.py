@@ -220,3 +220,88 @@ class LangIdStage:
         return pa.table(
             {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred, pa.string())}
         )
+
+
+# -- per-doc repetition signals (Gopher-style quality rules) ---------------
+
+def _ngram_join(flat: pa.Array, par: np.ndarray, k: int):
+    """Consecutive within-doc k-grams of the filtered token stream →
+    (gram strings, parent doc row index)."""
+    n = len(flat)
+    if n < k:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    same = np.ones(n - k + 1, dtype=bool)
+    for j in range(1, k):
+        same &= par[j:n - k + 1 + j] == par[:n - k + 1]
+    idx = np.flatnonzero(same)
+    if idx.size == 0:
+        return pa.array([], pa.string()), idx
+    parts = [flat.take(pa.array(idx + j, pa.int64())) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, par[idx]
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals (the Gopher-rule family, integer-exact
+    for the SQL oracle): total/most-frequent word-bigram counts and the
+    number of trigram occurrences belonging to repeated trigrams.
+    Downstream rules compare ratios as integer cross-products."""
+    flat, parents = simple_tokens_flat(batch["text"])
+    par = np.asarray(parents, dtype=np.int64)
+    n = batch.num_rows
+
+    def _per_doc(k: int):
+        grams, gpar = _ngram_join(flat, par, k)
+        total = np.bincount(gpar, minlength=n).astype(np.int64) \
+            if len(gpar) else np.zeros(n, np.int64)
+        top = np.zeros(n, np.int64)
+        dup_occ = np.zeros(n, np.int64)
+        if len(grams):
+            t = pa.table({"p": pa.array(gpar, pa.int64()), "g": grams})
+            c = t.group_by(["p", "g"]).aggregate([([], "count_all")])
+            cp = c["p"].to_numpy(zero_copy_only=False)
+            cn = c["count_all"].to_numpy(zero_copy_only=False)
+            np.maximum.at(top, cp, cn)
+            rep = cn > 1
+            dup_occ = np.bincount(cp[rep], weights=cn[rep],
+                                  minlength=n).astype(np.int64)
+        return total, top, dup_occ
+
+    n_bi, top_bi, _ = _per_doc(2)
+    n_tri, _, dup_tri = _per_doc(3)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bigrams": pa.array(n_bi, pa.int64()),
+        "top_bigram_count": pa.array(top_bi, pa.int64()),
+        "n_trigrams": pa.array(n_tri, pa.int64()),
+        "dup_trigram_occurrences": pa.array(dup_tri, pa.int64()),
+    })
+
+
+# -- PII redaction ---------------------------------------------------------
+
+# RE2-compatible (both Arrow and DuckDB use RE2 — identical semantics)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}[-.][0-9]{4}"
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails then phone numbers from ``text`` (same order as the
+    SQL oracle's nested regexp_replace) → (doc_id, n_emails, n_phones,
+    redacted_fp). The fingerprint (md5 of the redacted text) keeps the
+    value-compare small while pinning the exact replacement output."""
+    text = batch["text"]
+    n_em = pc.count_substring_regex(text, pattern=PII_EMAIL_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(text, pattern=PII_EMAIL_RE,
+                                     replacement="<EMAIL>")
+    n_ph = pc.count_substring_regex(red, pattern=PII_PHONE_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(red, pattern=PII_PHONE_RE,
+                                     replacement="<PHONE>")
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in red.to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_emails": n_em,
+        "n_phones": n_ph,
+        "redacted_fp": pa.array(fps, pa.string()),
+    })

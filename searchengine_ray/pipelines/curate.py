@@ -153,3 +153,22 @@ def _concurrency():
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
     return autoscale_concurrency()
+
+
+def host_cap_sample(docs_ds, cap: int, host_col: str = "source"):
+    """Per-host document cap (Common-Crawl-style curation: no single
+    host may dominate the corpus): keep the ``cap`` lowest-doc_id docs
+    of each host. ONE keyed shuffle (groupby host); deterministic and
+    partitioning-independent. → Dataset (doc_id, host_col)."""
+
+    def cap_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:cap]
+        keep = g.select(["doc_id", host_col]).take(
+            pa.array(np.sort(order), pa.int64())
+        )
+        return keep
+
+    return docs_ds.groupby(host_col).map_groups(
+        cap_group, batch_format="pyarrow"
+    )

@@ -130,6 +130,13 @@ class Searcher:
             return doc_ids[:n], scores[:n]  # reference truncates unsorted
         return top_k(doc_ids, scores, n)
 
+    def search_phrase(self, query: str, n: int | None = None) -> pa.Table:
+        """Exact phrase query over a positional index →
+        (rank, doc_id, n_matches); see query/phrase.py."""
+        from searchengine_ray.query.phrase import phrase_search
+
+        return phrase_search(self, query, n or self.cfg.default_top_k)
+
     def search(self, query: str, n: int | None = None, with_urls: bool = True):
         """→ pyarrow Table (rank, doc_id, score[, url])."""
         tokens = self.tokenizer.tokenize(query)
