@@ -405,6 +405,13 @@ def _q_search_bm25_german(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(language="german")))
 
 
+def _q_search_bm25_spanish(sf_dir: str):
+    """BM25 over a Spanish-stemmed index (Snowball Spanish, round-3):
+    the same query suite, every term stemmed by
+    text/stemmer.spanish_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="spanish")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -678,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
         "search_bm25_german": _q_search_bm25_german,
+        "search_bm25_spanish": _q_search_bm25_spanish,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -875,6 +883,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_german"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="german"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_spanish"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="spanish"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

@@ -12,9 +12,10 @@ Semantics mirrored from the reference tokenizer (``tokenizer.py:59-70``):
 the stem function is pure; callers memoize results per worker process
 (reference keeps an unbounded ``transforms`` dict — ST1 in SURVEY.md §2.3).
 
-Only English is implemented; the reference CLI exposes ``--language`` but
-the baseline config and all published numbers use english
-(reference ``README.md:200-208``).
+Implemented languages: 'english' (Porter2), 'porter' (the original 1980
+algorithm), 'german' and 'spanish' (each clean-room from its published
+snowballstem.org spec). The reference's baseline config and all its
+published numbers use english (reference ``README.md:200-208``).
 """
 
 from __future__ import annotations
@@ -567,8 +568,248 @@ def german_stem(word: str) -> str:
              .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
 
 
+# ---------------------------------------------------------------------------
+# Snowball Spanish stemmer, clean-room from the published algorithm
+# (snowballstem.org, "The Spanish stemming algorithm") — public knowledge
+# (reference tokenizer.py:24-33 accepts any Snowball language name).
+# Region semantics (from the Snowball program structure): steps 0, 2a, 2b
+# and 3 match their suffix ONLY within RV (a longer list entry extending
+# past RV cannot block a shorter one inside it); step 1 longest-matches
+# over the whole word and then tests R1/R2, with no shorter-suffix
+# fallback on failure.
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+_ES_PRONOUNS = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                "nos", "me", "se", "la", "le", "lo")
+# case (a): delete pronoun + un-accent the verb ending; (b): delete
+_ES_PRON_ACCENTED = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_PLAIN = ("iendo", "ando", "ar", "er", "ir")
+
+# step 1: (suffixes…, action) — longest match over the WHOLE word wins
+_ES_STEP1 = [
+    (("amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+      "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+      "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa"),
+     "del_r2"),
+    (("aciones", "adoras", "adores", "ancias", "adora", "ación", "antes",
+      "ancia", "ador", "ante"), "del_r2_ic"),
+    (("logías", "logía"), "log"),
+    (("uciones", "ución"), "u"),
+    (("encias", "encia"), "ente"),
+    (("amente",), "amente"),
+    (("mente",), "mente"),
+    (("idades", "idad"), "idad"),
+    (("ivas", "ivos", "iva", "ivo"), "iva"),
+]
+
+_ES_STEP2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+              "yes", "ya", "ye", "yo", "yó")
+
+_ES_STEP2B_GU = ("emos", "éis", "en", "es")   # delete; gu → drop the u
+_ES_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+    "aríais", "eríais", "iríais", "aremos", "eremos", "iremos",
+    "ierais", "ieseis", "asteis", "isteis", "ábamos", "áramos",
+    "ásemos",
+    "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+    "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+    "ieses", "abais", "arais", "aseis", "íamos",
+    "arán", "arás", "aría", "erán", "erás", "ería", "irán", "irás",
+    "iría", "iera", "iese", "aste", "iste", "aban", "aran", "asen",
+    "aron", "ando", "abas", "adas", "idas", "aras", "ases", "íais",
+    "ados", "idos", "amos", "imos",
+    "aré", "ará", "eré", "erá", "iré", "irá", "aba", "ada", "ida",
+    "ara", "ase", "ían", "ado", "ido", "ías", "áis",
+    "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as", "ís",
+)
+
+_ES_STEP3_DEL = ("os", "a", "o", "á", "í", "ó")
+
+
+def _es_rv(w: str) -> int:
+    """RV start (spec): 2nd letter consonant → after the next vowel;
+    first two letters vowels → after the next consonant; else (cons +
+    vowel) → after the third letter; end of word if not found."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _ES_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _es_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+def _es_unaccent(w: str) -> str:
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"),
+                 ("ú", "u")):
+        w = w.replace(a, b)
+    return w
+
+
+def spanish_stem(word: str) -> str:
+    """Snowball Spanish stem of a lower-case word."""
+    w = word.lower()
+    rv = _es_rv(w)
+    r1, r2 = _es_r1r2(w)
+
+    def in_rv(wd: str, suffix_len: int) -> bool:
+        return len(wd) - suffix_len >= rv
+
+    def in_r1(wd: str, suffix_len: int) -> bool:
+        return len(wd) - suffix_len >= r1
+
+    def in_r2(wd: str, suffix_len: int) -> bool:
+        return len(wd) - suffix_len >= r2
+
+    # Step 0 — attached pronoun (everything inside RV)
+    for p in _ES_PRONOUNS:
+        if not (w.endswith(p) and in_rv(w, len(p))):
+            continue
+        base = w[: len(w) - len(p)]
+        done = False
+        for acc, plain in zip(_ES_PRON_ACCENTED, _ES_PRON_PLAIN):
+            if base.endswith(acc) and in_rv(base, len(acc)):
+                w = base[: len(base) - len(acc)] + plain
+                done = True
+                break
+        if not done:
+            for plain in _ES_PRON_PLAIN:
+                if base.endswith(plain) and in_rv(base, len(plain)):
+                    w = base
+                    done = True
+                    break
+        if not done and base.endswith("yendo") and in_rv(base, 5) \
+                and base[: -5].endswith("u"):   # u may sit outside RV
+            w = base
+            done = True
+        break          # longest pronoun decides; no shorter fallback
+
+    # Step 1 — standard suffix removal (longest match over whole word)
+    step1_removed = False
+    matched = None
+    for sfxs, action in _ES_STEP1:
+        for s in sfxs:
+            if w.endswith(s):
+                if matched is None or len(s) > len(matched[0]):
+                    matched = (s, action)
+    if matched is not None:
+        s, action = matched
+        k = len(w) - len(s)
+        if action == "del_r2" and in_r2(w, len(s)):
+            w = w[:k]
+            step1_removed = True
+        elif action == "del_r2_ic" and in_r2(w, len(s)):
+            w = w[:k]
+            if w.endswith("ic") and in_r2(w, 2):
+                w = w[:-2]
+            step1_removed = True
+        elif action == "log" and in_r2(w, len(s)):
+            w = w[:k] + "log"
+            step1_removed = True
+        elif action == "u" and in_r2(w, len(s)):
+            w = w[:k] + "u"
+            step1_removed = True
+        elif action == "ente" and in_r2(w, len(s)):
+            w = w[:k] + "ente"
+            step1_removed = True
+        elif action == "amente" and in_r1(w, len(s)):
+            w = w[:k]
+            if w.endswith("iv") and in_r2(w, 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+            elif (w.endswith(("os", "ic", "ad")) and in_r2(w, 2)):
+                w = w[:-2]
+            step1_removed = True
+        elif action == "mente" and in_r2(w, len(s)):
+            w = w[:k]
+            for pre in ("ante", "able", "ible"):
+                if w.endswith(pre) and in_r2(w, 4):
+                    w = w[:-4]
+                    break
+            step1_removed = True
+        elif action == "idad" and in_r2(w, len(s)):
+            w = w[:k]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(w, len(pre)):
+                    w = w[: len(w) - len(pre)]
+                    break
+            step1_removed = True
+        elif action == "iva" and in_r2(w, len(s)):
+            w = w[:k]
+            if w.endswith("at") and in_r2(w, 2):
+                w = w[:-2]
+            step1_removed = True
+
+    # Step 2a — verb suffixes beginning y (only if step 1 removed
+    # nothing); suffix in RV, preceded by u (u may be outside RV)
+    step2a_removed = False
+    if not step1_removed:
+        for s in sorted(_ES_STEP2A, key=len, reverse=True):
+            if w.endswith(s) and in_rv(w, len(s)) \
+                    and w[: len(w) - len(s)].endswith("u"):
+                w = w[: len(w) - len(s)]
+                step2a_removed = True
+                break
+
+    # Step 2b — other verb suffixes (only if 2a ran and removed
+    # nothing); longest suffix lying inside RV
+    if not step1_removed and not step2a_removed:
+        best = None
+        for s in _ES_STEP2B_GU:
+            if w.endswith(s) and in_rv(w, len(s)):
+                if best is None or len(s) > len(best[0]):
+                    best = (s, True)
+        for s in _ES_STEP2B:
+            if w.endswith(s) and in_rv(w, len(s)):
+                if best is None or len(s) > len(best[0]):
+                    best = (s, False)
+        if best is not None:
+            s, gu = best
+            w = w[: len(w) - len(s)]
+            if gu and w.endswith("gu"):    # u need not be in RV
+                w = w[:-1]
+
+    # Step 3 — residual suffix (always; inside RV)
+    if w.endswith(("e", "é")) and in_rv(w, 1):
+        w = w[:-1]
+        if w.endswith("gu") and in_rv(w, 1):   # the u must be in RV
+            w = w[:-1]
+    else:
+        for s in _ES_STEP3_DEL:
+            if w.endswith(s) and in_rv(w, len(s)):
+                w = w[: len(w) - len(s)]
+                break
+
+    return _es_unaccent(w)
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
     "german": german_stem,  # Snowball German
+    "spanish": spanish_stem,  # Snowball Spanish
 }

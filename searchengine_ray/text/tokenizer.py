@@ -69,10 +69,11 @@ def load_stop_words(path: str | Path | None) -> frozenset[str] | None:
 # language name and delegates to ``SnowballStemmer(language)``
 # (reference ``tokenizer.py:24-33,59-70``); implemented here:
 # 'english' (Snowball Porter2), 'porter' (the original 1980 Porter
-# algorithm — also a SnowballStemmer language option) and 'german'
-# (Snowball German). Any other language FAILS LOUDLY instead of
-# silently stemming with the wrong algorithm.
-SUPPORTED_LANGUAGES = frozenset({"english", "porter", "german"})
+# algorithm — also a SnowballStemmer language option), 'german'
+# (Snowball German) and 'spanish' (Snowball Spanish). Any other
+# language FAILS LOUDLY instead of silently stemming with the wrong
+# algorithm.
+SUPPORTED_LANGUAGES = frozenset({"english", "porter", "german", "spanish"})
 
 
 class Tokenizer:
