@@ -412,6 +412,13 @@ def _q_search_bm25_spanish(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(language="spanish")))
 
 
+def _q_search_bm25_french(sf_dir: str):
+    """BM25 over a French-stemmed index (Snowball French, round-3):
+    the same query suite, every term stemmed by
+    text/stemmer.french_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="french")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -686,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
+        "search_bm25_french": _q_search_bm25_french,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -887,6 +895,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_spanish"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="spanish"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_french"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="french"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

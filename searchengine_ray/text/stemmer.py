@@ -807,9 +807,336 @@ def spanish_stem(word: str) -> str:
     return _es_unaccent(w)
 
 
+# ---------------------------------------------------------------------------
+# Snowball French stemmer, clean-room from the published algorithm
+# (snowballstem.org, "The French stemming algorithm") — public knowledge
+# (reference tokenizer.py:24-33 accepts any Snowball language name).
+# Implements the classic published algorithm (without the later ë→He /
+# ï→Hi revision). Region semantics: steps 2a, 2b and the step-4 suffix
+# table match only within RV; step 1 longest-matches over the whole
+# (marked) word and then tests R1/R2/RV.
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+_FR_STEP1 = [
+    # (suffixes…, action key); longest match over the whole word wins
+    (("ances", "iqUes", "ismes", "ables", "istes", "ance", "iqUe",
+      "isme", "able", "iste", "eux"), "del_r2"),
+    (("atrices", "ateurs", "ations", "atrice", "ateur", "ation"),
+     "ateur"),
+    (("logies", "logie"), "log"),
+    (("usions", "utions", "usion", "ution"), "u"),
+    (("ences", "ence"), "ent"),
+    (("ements", "ement"), "ement"),
+    (("ités", "ité"), "ite"),
+    (("ives", "ifs", "ive", "if"), "if"),
+    (("eaux",), "eaux"),
+    (("aux",), "aux"),
+    (("euses", "euse"), "euse"),
+    (("issements", "issement"), "issement"),
+    (("amment",), "amment"),
+    (("emment",), "emment"),
+    (("ments", "ment"), "ment"),
+]
+
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez",
+    "issons", "irais", "irait", "irent", "iriez", "irons", "iront",
+    "isses", "issez", "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ira", "ies", "ît", "ie", "ir", "is", "it", "i",
+)
+
+_FR_STEP2B_IONS = ("ions",)
+_FR_STEP2B_DEL = (          # group: delete
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_STEP2B_E = (            # group: delete; preceding e (in RV) too
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "ât", "ai",
+    "as", "a",
+)
+
+_FR_UNDOUBLE = ("enn", "onn", "ett", "ell", "eill")
+
+
+def _fr_mark(word: str) -> str:
+    """Left-to-right marking pass (spec prelude): u/i between vowels,
+    y next to a vowel, u after q become U/I/Y (consonants)."""
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1] in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1] in _FR_VOWELS
+        if prev_v:
+            if c == "u" and next_v:
+                chars[i] = "U"
+            elif c == "i" and next_v:
+                chars[i] = "I"
+            elif c == "y":
+                chars[i] = "Y"
+            continue
+        if c == "y" and next_v:
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    """RV start (spec): 'par'/'col'/'tap' prefix → 3; two initial
+    vowels → 3; else after the first vowel not at the beginning."""
+    n = len(w)
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+def _fr_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _FR_VOWELS:
+            i += 1
+        while i < n and w[i] in _FR_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+def french_stem(word: str) -> str:
+    """Snowball French stem of a lower-case word."""
+    w = _fr_mark(word.lower())
+    rv = _fr_rv(w)
+    r1, r2 = _fr_r1r2(w)
+
+    def in_rv(wd: str, k: int) -> bool:
+        return len(wd) - k >= rv
+
+    def in_r1(wd: str, k: int) -> bool:
+        return len(wd) - k >= r1
+
+    def in_r2(wd: str, k: int) -> bool:
+        return len(wd) - k >= r2
+
+    # ---- Step 1: standard suffix (longest match over the whole word)
+    matched = None
+    for sfxs, action in _FR_STEP1:
+        for s in sfxs:
+            if w.endswith(s) and (matched is None or len(s) > len(matched[0])):
+                matched = (s, action)
+    step1_altered = False
+    ment_found = False
+    if matched is not None:
+        s, action = matched
+        k = len(w) - len(s)
+        if action == "del_r2":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+        elif action == "ateur":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+                if w.endswith("ic"):
+                    if in_r2(w, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif action == "log":
+            if in_r2(w, len(s)):
+                w = w[:k] + "log"
+                step1_altered = True
+        elif action == "u":
+            if in_r2(w, len(s)):
+                w = w[:k] + "u"
+                step1_altered = True
+        elif action == "ent":
+            if in_r2(w, len(s)):
+                w = w[:k] + "ent"
+                step1_altered = True
+        elif action == "ement":
+            if in_rv(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(w, 3):
+                        w = w[:-3]
+                    elif in_r1(w, 3):
+                        w = w[:-3] + "eux"
+                elif w.endswith(("abl", "iqU")) and in_r2(w, 3):
+                    w = w[:-3]
+                elif w.endswith(("ièr", "Ièr")) and in_rv(w, 3):
+                    w = w[:-3] + "i"
+        elif action == "ite":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+                if w.endswith("abil"):
+                    if in_r2(w, 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(w, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+        elif action == "if":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(w, 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif action == "eaux":
+            w = w[:k] + "eau"
+            step1_altered = True
+        elif action == "aux":
+            if in_r1(w, len(s)):
+                w = w[:k] + "al"
+                step1_altered = True
+        elif action == "euse":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                step1_altered = True
+            elif in_r1(w, len(s)):
+                w = w[:k] + "eux"
+                step1_altered = True
+        elif action == "issement":
+            if in_r1(w, len(s)) and k >= 1 and w[k - 1] not in _FR_VOWELS:
+                w = w[:k]
+                step1_altered = True
+        elif action == "amment":
+            ment_found = True
+            if in_rv(w, len(s)):
+                w = w[:k] + "ant"
+                step1_altered = True
+        elif action == "emment":
+            ment_found = True
+            if in_rv(w, len(s)):
+                w = w[:k] + "ent"
+                step1_altered = True
+        elif action == "ment":
+            ment_found = True
+            # delete if preceded by a vowel in RV (the vowel in RV too)
+            if k >= 1 and w[k - 1] in _FR_VOWELS and in_rv(w, len(s) + 1):
+                w = w[:k]
+                step1_altered = True
+
+    # ---- Steps 2a/2b: verb suffixes
+    do_2a = (not step1_altered) or ment_found
+    altered = step1_altered
+    if do_2a:
+        removed_2a = False
+        best = None
+        for s in _FR_STEP2A:
+            if w.endswith(s) and in_rv(w, len(s)) \
+                    and (best is None or len(s) > len(best)):
+                best = s
+        if best is not None:
+            k = len(w) - len(best)
+            # preceded by a non-vowel which is itself in RV
+            if k >= 1 and w[k - 1] not in _FR_VOWELS and k - 1 >= rv:
+                w = w[:k]
+                removed_2a = True
+        altered = removed_2a
+        if not removed_2a:
+            best = None
+            for group, sfxs in (("ions", _FR_STEP2B_IONS),
+                                ("del", _FR_STEP2B_DEL),
+                                ("e", _FR_STEP2B_E)):
+                for s in sfxs:
+                    if w.endswith(s) and in_rv(w, len(s)) \
+                            and (best is None or len(s) > len(best[0])):
+                        best = (s, group)
+            altered = False
+            if best is not None:
+                s, group = best
+                k = len(w) - len(s)
+                if group == "ions":
+                    if in_r2(w, len(s)):
+                        w = w[:k]
+                        altered = True
+                elif group == "del":
+                    w = w[:k]
+                    altered = True
+                else:
+                    w = w[:k]
+                    altered = True
+                    if w.endswith("e") and in_rv(w, 1):
+                        w = w[:-1]
+
+    # ---- Step 3 (if the last obeyed step altered) else step 4
+    if altered:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4: final s unless preceded by a, i, o, u, è or s
+        if w.endswith("s") and (len(w) < 2
+                                or w[-2] not in frozenset("aiouès")):
+            w = w[:-1]
+        best = None
+        for s in ("ière", "Ière", "ion", "ier", "Ier", "e", "ë"):
+            if w.endswith(s) and in_rv(w, len(s)) \
+                    and (best is None or len(s) > len(best)):
+                best = s
+        if best == "ion":
+            k = len(w) - 3
+            if in_r2(w, 3) and k >= 1 and w[k - 1] in ("s", "t") \
+                    and k - 1 >= rv:
+                w = w[:k]
+        elif best in ("ière", "Ière", "ier", "Ier"):
+            w = w[: len(w) - len(best)] + "i"
+        elif best == "e":
+            w = w[:-1]
+        elif best == "ë" and w[:-1].endswith("gu"):
+            w = w[:-1]
+
+    # ---- Step 5: un-double
+    for s in _FR_UNDOUBLE:
+        if w.endswith(s):
+            w = w[:-1]
+            break
+
+    # ---- Step 6: un-accent (é/è followed by ≥1 final non-vowels → e)
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        i -= 1
+    if i >= 0 and i < len(w) - 1 and w[i] in ("é", "è"):
+        w = w[:i] + "e" + w[i + 1:]
+
+    # ---- Postlude: unmark
+    return w.replace("U", "u").replace("I", "i").replace("Y", "y")
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
     "german": german_stem,  # Snowball German
     "spanish": spanish_stem,  # Snowball Spanish
+    "french": french_stem,  # Snowball French
 }
