@@ -1,0 +1,160 @@
+"""Round-3 operators: exact phrase search over the positional index,
+per-host cap sampling, PII redaction, and per-doc repetition stats.
+The sf0.01 contract oracles pin bulk behavior; these tests pin the
+edge semantics (overlapping matches, repeated tokens, tie order,
+error paths) on hand-built corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(tmp_path, texts, positional=True, **cfg_kw):
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig, PostingType
+
+    tbl = pa.table({
+        "url": pa.array([f"https://t/{i}" for i in range(len(texts))],
+                        pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(
+        posting_type=(PostingType.POSITIONAL if positional
+                      else PostingType.FREQUENCY),
+        num_shards=2, use_stop_words=False, min_token_length=2,
+        **cfg_kw,
+    ))
+    return idx
+
+
+def test_phrase_basic_and_order(ray_session, tmp_path):
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _build(tmp_path, [
+        "alpha beta gamma",              # doc 0: 1 match
+        "alpha beta alpha beta gamma",   # doc 1: 2 matches
+        "beta alpha",                    # doc 2: wrong order
+        "alpha delta beta",              # doc 3: not consecutive
+    ])
+    s = Searcher(idx)
+    t = s.search_phrase("alpha beta", 10)
+    assert t["doc_id"].to_pylist() == [1, 0]       # most matches first
+    assert t["n_matches"].to_pylist() == [2, 1]
+    assert t["rank"].to_pylist() == [1, 2]
+
+
+def test_phrase_overlapping_repeated_token(ray_session, tmp_path):
+    """'aa aa' in 'aa aa aa' matches at positions 0 and 1 (overlap
+    counts, matching the SQL oracle's every-starting-position rule)."""
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _build(tmp_path, [
+        "aa aa aa",        # doc 0: 2 overlapping matches
+        "aa bb aa",        # doc 1: none
+        "aa aa",           # doc 2: 1
+    ])
+    s = Searcher(idx)
+    t = s.search_phrase("aa aa", 10)
+    assert t["doc_id"].to_pylist() == [0, 2]
+    assert t["n_matches"].to_pylist() == [2, 1]
+
+
+def test_phrase_three_terms_and_stopword_positions(ray_session, tmp_path):
+    """Positions index the FILTERED token sequence: min_token_length
+    drops 1-char tokens, so 'alpha x beta' still matches the phrase
+    'alpha beta' (same rule as the SQL oracle's filtered list)."""
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _build(tmp_path, [
+        "alpha x beta gamma",     # 'x' filtered -> alpha beta adjacent
+        "alpha xx beta gamma",    # 'xx' kept -> not adjacent
+    ])
+    s = Searcher(idx)
+    t = s.search_phrase("alpha beta gamma", 10)
+    assert t["doc_id"].to_pylist() == [0]
+    t2 = s.search_phrase("alpha beta", 10)
+    assert t2["doc_id"].to_pylist() == [0]
+
+
+def test_phrase_missing_term_and_single_token(ray_session, tmp_path):
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _build(tmp_path, ["alpha beta", "beta beta beta"])
+    s = Searcher(idx)
+    assert s.search_phrase("alpha zzzz", 10).num_rows == 0
+    # single token: rank by tf
+    t = s.search_phrase("beta", 10)
+    assert t["doc_id"].to_pylist() == [1, 0]
+    assert t["n_matches"].to_pylist() == [3, 1]
+
+
+def test_phrase_requires_positional_index(ray_session, tmp_path):
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _build(tmp_path, ["alpha beta"], positional=False)
+    s = Searcher(idx)
+    with pytest.raises(ValueError, match="positional"):
+        s.search_phrase("alpha beta", 10)
+
+
+def test_host_cap_sample(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import host_cap_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "source": pa.array(["a"] * 7 + ["b"] * 3, pa.string()),
+    })
+    out = host_cap_sample(ray.data.from_arrow(tbl), cap=3).to_pandas()
+    by_host = out.groupby("source")["doc_id"].apply(sorted).to_dict()
+    assert by_host == {"a": [0, 1, 2], "b": [7, 8, 9]}
+
+
+def test_pii_redact_batch():
+    from searchengine_ray.pipelines.analysis import pii_redact_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@x-site.org or x@y.io call 555-1234",
+            "no pii here",
+            "dots 123.4567 and dash 000-0000",
+        ], pa.string()),
+    })
+    out = pii_redact_batch(batch)
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_phones"].to_pylist() == [1, 0, 2]
+    # fingerprints are md5 of the redacted text (stable)
+    import hashlib
+    exp = hashlib.md5(
+        "mail <EMAIL> or <EMAIL> call <PHONE>".encode()).hexdigest()
+    assert out["redacted_fp"].to_pylist()[0] == exp
+
+
+def test_repetition_stats_batch():
+    from searchengine_ray.pipelines.analysis import repetition_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "go go go go",        # bigrams: 3x "go go"; trigrams 2x dup
+            "aa bb cc dd",        # all unique
+            "",                   # empty
+        ], pa.string()),
+    })
+    out = repetition_stats_batch(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["top_bigram_count"] == 3
+    assert rows[0]["n_trigrams"] == 2
+    assert rows[0]["dup_trigram_occurrences"] == 2
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["top_bigram_count"] == 1
+    assert rows[1]["dup_trigram_occurrences"] == 0
+    assert rows[2]["n_bigrams"] == 0
+    assert rows[2]["n_trigrams"] == 0
