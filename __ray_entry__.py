@@ -635,6 +635,26 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+DECONTAM_N = 5
+DECONTAM_PROBE_MOD = 17
+
+
+def _q_decontaminate(sf_dir: str):
+    """n-gram benchmark decontamination: probe set = 5-grams of docs
+    with doc_id % 17 == 0 (a stand-in eval suite), broadcast via
+    ray.put; corpus flagged in one shuffle-free map_batches pass."""
+    from searchengine_ray.pipelines.decontam import decontaminate
+
+    docs = _docs_ds(sf_dir)
+
+    def probe_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % DECONTAM_PROBE_MOD == 0))
+
+    probe = docs.map_batches(probe_filter, batch_format="pyarrow")
+    return decontaminate(docs, probe, n=DECONTAM_N)
+
+
 def _q_dup_clusters(sf_dir: str):
     from searchengine_ray.pipelines.clusters import dup_clusters
     from searchengine_ray.pipelines.dedup import minhash_candidates
@@ -698,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
         "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -912,6 +933,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["pii_redact"] = oracles.sql_pii_redact(PII_EMAIL_RE, PII_PHONE_RE)
+    out["decontaminate"] = oracles.sql_decontaminate(
+        pclass, DECONTAM_N, DECONTAM_PROBE_MOD
+    )
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

@@ -136,6 +136,30 @@ def test_pii_redact_batch():
     assert out["redacted_fp"].to_pylist()[0] == exp
 
 
+def test_decontaminate(ray_session):
+    """Docs sharing any probe trigram are flagged; occurrence counts
+    include repeats; probe docs self-match."""
+    import ray.data
+
+    from searchengine_ray.pipelines.decontam import decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps",        # probe doc
+            "lazy the quick brown dog",         # shares "the quick brown"
+            "quick brown fox here and quick brown fox there",  # 2 hits
+            "totally different words entirely",
+        ], pa.string()),
+    })
+    docs_ds = ray.data.from_arrow(docs)
+    probe_ds = ray.data.from_arrow(docs.slice(0, 1))
+    out = decontaminate(docs_ds, probe_ds, n=3, concurrency=2).to_pandas()
+    got = out.set_index("doc_id").sort_index()
+    assert got["n_hits"].tolist() == [3, 1, 2, 0]
+    assert got["contaminated"].tolist() == [1, 1, 1, 0]
+
+
 def test_repetition_stats_batch():
     from searchengine_ray.pipelines.analysis import repetition_stats_batch
 
