@@ -635,6 +635,15 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+KEYWORDS_K = 3
+
+
+def _q_keywords(sf_dir: str):
+    from searchengine_ray.pipelines.analysis import keywords_topk
+
+    return keywords_topk(_docs_ds(sf_dir), k=KEYWORDS_K)
+
+
 DECONTAM_N = 5
 DECONTAM_PROBE_MOD = 17
 
@@ -719,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": _q_host_cap,
         "pii_redact": _q_pii_redact,
         "decontaminate": _q_decontaminate,
+        "keywords_topk": _q_keywords,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -936,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
     out["decontaminate"] = oracles.sql_decontaminate(
         pclass, DECONTAM_N, DECONTAM_PROBE_MOD
     )
+    out["keywords_topk"] = oracles.sql_keywords_topk(pclass, KEYWORDS_K)
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

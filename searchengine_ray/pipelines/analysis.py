@@ -278,6 +278,98 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# -- per-doc TF-IDF keywords (broadcast-df pattern) -----------------------
+
+class KeywordStage:
+    """Actor-pool stage: per-doc top-k TF-IDF keywords. The term→idf
+    map (vocabulary-bounded — the classic small broadcast side) ships
+    once per actor via ``ray.put``; scoring is one shuffle-free
+    ``map_batches`` pass. idf = round(ln(N/df), 3) — the same
+    quantization convention the search oracles pin."""
+
+    def __init__(self, idf_ref, k: int):
+        import ray
+
+        idf = idf_ref
+        if isinstance(idf, ray.ObjectRef):
+            idf = ray.get(idf)
+        self.terms, self.idf = idf          # (string array, float64 np)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = simple_tokens_flat(batch["text"])
+        if len(flat) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score_q4": pa.array([], pa.int64()),
+            })
+        t = pa.table({
+            "p": pc.take(batch["doc_id"], parents),
+            "term": flat,
+        })
+        tf = t.group_by(["p", "term"]).aggregate([([], "count_all")])
+        idx = pc.index_in(tf["term"], value_set=self.terms)
+        score = (tf["count_all"].to_numpy(zero_copy_only=False)
+                 .astype(np.float64)
+                 * self.idf[idx.to_numpy(zero_copy_only=False)])
+        scored = pa.table({
+            "doc_id": tf["p"],
+            "term": tf["term"],
+            "score": pa.array(score, pa.float64()),
+        }).sort_by([("doc_id", "ascending"), ("score", "descending"),
+                    ("term", "ascending")])
+        docs = scored["doc_id"].to_numpy(zero_copy_only=False)
+        _, starts = np.unique(docs, return_index=True)
+        offs = np.zeros(len(docs), np.int64)
+        offs[starts] = 1
+        rank = np.arange(len(docs)) - np.repeat(
+            starts, np.diff(np.append(starts, len(docs)))) + 1
+        keep = rank <= self.k
+        out = scored.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "rank": pa.array(rank[keep], pa.int64()),
+            "term": out["term"],
+            "score_q4": pa.array(
+                np.round(out["score"].to_numpy(zero_copy_only=False)
+                         * 10_000).astype(np.int64), pa.int64()),
+        })
+
+
+def keywords_topk(docs_ds, k: int = 3, concurrency=None):
+    """→ Dataset (doc_id, rank, term, score_q4): each doc's top-k
+    simple-token TF-IDF keywords (score desc, term asc ties). The df
+    aggregate runs as per-batch partials + ONE small groupby-sum, is
+    pulled to the driver (vocabulary-bounded) and broadcast; the
+    scoring pass itself needs no shuffle. At web scale, cap the
+    broadcast by df/vocab pruning before the ``take_all``."""
+    import math
+
+    import ray
+
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    n_docs = docs_ds.count()
+    df_rows = (docs_ds
+               .map_batches(term_df_partial_batch, batch_format="pyarrow")
+               .groupby("term").sum("df_partial")
+               .take_all())
+    terms = pa.array([r["term"] for r in df_rows], pa.string())
+    dfs = np.array([r["sum(df_partial)"] for r in df_rows], np.float64)
+    # libm log over distinct values (np.log differs in the last ulp)
+    idf = np.array([round(math.log(n_docs / d), 3) for d in dfs],
+                   np.float64)
+    idf_ref = ray.put((terms, idf))
+    return docs_ds.map_batches(
+        KeywordStage,
+        fn_constructor_kwargs={"idf_ref": idf_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency or autoscale_concurrency(),
+    )
+
+
 # -- PII redaction ---------------------------------------------------------
 
 # RE2-compatible (both Arrow and DuckDB use RE2 — identical semantics)

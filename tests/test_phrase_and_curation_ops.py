@@ -160,6 +160,32 @@ def test_decontaminate(ray_session):
     assert got["contaminated"].tolist() == [1, 1, 1, 0]
 
 
+def test_keywords_topk(ray_session):
+    """Rarer terms outrank common ones at equal tf; ties break
+    term-ascending; rank within doc is dense from 1."""
+    import ray.data
+
+    from searchengine_ray.pipelines.analysis import keywords_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "common rare common",     # rare (df=1) beats common (df=4)
+            "common zebra",           # zebra df=1
+            "common apple banana",    # equal-score tie → term asc
+            "common",
+        ], pa.string()),
+    })
+    out = keywords_topk(ray.data.from_arrow(docs), k=2,
+                        concurrency=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    assert d0["term"].tolist() == ["rare", "common"]
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    assert d2["term"].tolist() == ["apple", "banana"]   # tie → term asc
+    assert (out.groupby("doc_id")["rank"].min() == 1).all()
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
 def test_repetition_stats_batch():
     from searchengine_ray.pipelines.analysis import repetition_stats_batch
 
