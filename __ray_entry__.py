@@ -635,6 +635,21 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+SESSION_GAP_US = 1_800_000_000
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.events import sessionize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return sessionize(ev, gap_us=SESSION_GAP_US)
+
+
 KEYWORDS_K = 3
 
 
@@ -729,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "decontaminate": _q_decontaminate,
         "keywords_topk": _q_keywords,
+        "sessionize": _q_sessionize,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -947,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         pclass, DECONTAM_N, DECONTAM_PROBE_MOD
     )
     out["keywords_topk"] = oracles.sql_keywords_topk(pclass, KEYWORDS_K)
+    out["sessionize"] = oracles.sql_sessionize(SESSION_GAP_US)
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

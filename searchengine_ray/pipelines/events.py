@@ -135,3 +135,42 @@ def asof_join_latest(events_ds, left_type: str = "click",
 
     return ds.groupby("user_id").map_groups(match_group,
                                             batch_format="pyarrow")
+
+
+def sessionize(events_ds, gap_us: int = 1_800_000_000):
+    """→ Dataset (event_id, user_id, session_id, session_seq): classic
+    gap-based sessionization. Per user (events ordered by ts then
+    event_id), a new session starts when the gap from the previous
+    event exceeds ``gap_us`` (default 30 min). ``session_id`` is the
+    first event's event_id (globally unique without coordination);
+    ``session_seq`` is the 1-based position within the session.
+
+    ONE keyed shuffle (groupby user); per-group work is fully
+    vectorized (lexsort + maximum.accumulate). Hot users concentrate
+    in one task — same caveat as the as-of join; salt by coarse time
+    range if a single user exceeds a task's memory."""
+    ds = events_ds.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+
+    def assign(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid, uid = ts[order], eid[order], uid[order]
+        n = len(ts)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = (ts[1:] - ts[:-1]) > gap_us
+        idx = np.arange(n, dtype=np.int64)
+        start_pos = np.maximum.accumulate(np.where(starts, idx, 0))
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "session_id": pa.array(eid[start_pos], pa.int64()),
+            "session_seq": pa.array(idx - start_pos + 1, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(assign, batch_format="pyarrow")

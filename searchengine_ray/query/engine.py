@@ -202,8 +202,15 @@ class QueryActor:
     ``__call__`` (SURVEY §2.3 ST5 as an actor pool)."""
 
     def __init__(self, index_dir: str, n: int = 10, with_urls: bool = False,
-                 **searcher_kw):
+                 warm_cache_ref=None, **searcher_kw):
+        import ray
+
         self.searcher = Searcher(index_dir, **searcher_kw)
+        if warm_cache_ref is not None:
+            warm = warm_cache_ref
+            if isinstance(warm, ray.ObjectRef):
+                warm = ray.get(warm)
+            self.searcher.reader.load_cache(warm)
         self.n = n
         self.with_urls = with_urls
 
@@ -240,16 +247,34 @@ class QueryActor:
 
 
 def search_dataset(queries_ds, index_dir: str, n: int = 10,
-                   concurrency=None, batch_size: int = 8, **kw):
+                   concurrency=None, batch_size: int = 8,
+                   warm_queries: list[str] | None = None, **kw):
     """Distributed query serving: Dataset[(query_id, query)] → Dataset of
     top-k rows via an actor pool. Small batches keep every actor busy
     (a batch is the unit of assignment); ``concurrency=None`` →
-    autoscale to the node."""
+    autoscale to the node.
+
+    ``warm_queries``: head queries whose decoded posting lists are
+    fetched ONCE on the driver and broadcast via ``ray.put`` so every
+    actor starts with a warm cache instead of re-reading and
+    re-decoding the same head-term lists (the standard serving-fleet
+    prewarm; identical results, tested)."""
+    import ray
+
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
+    ctor = dict(index_dir=index_dir, n=n, **kw)
+    if warm_queries:
+        s = Searcher(index_dir,
+                     **{k: v for k, v in kw.items() if k != "with_urls"})
+        terms: list[str] = []
+        for q in warm_queries:
+            terms.extend(s.tokenizer.tokenize(q))
+        s.reader.fetch(terms)
+        ctor["warm_cache_ref"] = ray.put(s.reader.export_cache())
     return queries_ds.map_batches(
         QueryActor,
-        fn_constructor_kwargs=dict(index_dir=index_dir, n=n, **kw),
+        fn_constructor_kwargs=ctor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or autoscale_concurrency(),

@@ -326,6 +326,32 @@ class ShardReader:
     def shard_of(self, term: str) -> int:
         return bisect.bisect_right(self.boundaries, term)
 
+    def export_cache(self) -> dict:
+        """Snapshot of the decoded-postings cache, for broadcasting a
+        pre-warmed head-term working set to a serving pool."""
+        return dict(self.cache)
+
+    def load_cache(self, warm: dict) -> None:
+        """Install a pre-warmed {term: PostingsRec|None} map (e.g. the
+        ``ray.get`` of a broadcast ref). Plasma-backed arrays arrive
+        read-only, so the hot arrays are copied writable; position
+        payloads stay shared (they are decoded into fresh arrays on
+        first use)."""
+        import copy as _copy
+
+        for t, rec in warm.items():
+            if rec is not None:
+                rec = _copy.copy(rec)
+                rec.doc_ids = np.array(rec.doc_ids)
+                rec.tfs = np.array(rec.tfs)
+                rec.dls = np.array(rec.dls)
+                if rec.weights is not None:
+                    rec.weights = np.array(rec.weights)
+                rec._tfs64 = rec._dldiv = rec._contrib = None
+                rec._pos_of = None
+            self.cache[t] = rec
+            self.cache.move_to_end(t)
+
     def fetch(self, terms: list[str]) -> dict[str, PostingsRec | None]:
         out: dict[str, PostingsRec | None] = {}
         missing_by_shard: dict[int, list[str]] = {}

@@ -186,6 +186,31 @@ def test_keywords_topk(ray_session):
     assert (out.groupby("doc_id")["rank"].max() <= 2).all()
 
 
+def test_sessionize(ray_session):
+    """Sessions break on gaps > gap_us per user; session_id is the
+    first event's id; seq is 1-based within session."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import sessionize
+
+    us = 1_000_000
+    ev = pa.table({
+        "event_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+        "ts": pa.array([0, 5 * us, 100 * us, 3 * us, 200 * us],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+    })
+    out = sessionize(ray.data.from_arrow(ev), gap_us=30 * us).to_pandas()
+    got = out.set_index("event_id").sort_index()
+    # user 1: events at 0s,5s (one session), 100s (new session)
+    assert got.loc[10, "session_id"] == 10 and got.loc[10, "session_seq"] == 1
+    assert got.loc[11, "session_id"] == 10 and got.loc[11, "session_seq"] == 2
+    assert got.loc[12, "session_id"] == 12 and got.loc[12, "session_seq"] == 1
+    # user 2: 3s and 200s → two sessions
+    assert got.loc[20, "session_id"] == 20
+    assert got.loc[21, "session_id"] == 21
+
+
 def test_repetition_stats_batch():
     from searchengine_ray.pipelines.analysis import repetition_stats_batch
 

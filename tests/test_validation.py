@@ -263,3 +263,25 @@ def test_search_dataset_dedups_identical_queries(small_index):
             for r in want["games" if i % 2 else "gaming cafe"]
         )
         assert got == expect, i
+
+
+def test_search_dataset_warm_broadcast_identical(small_index):
+    """warm_queries prewarms the posting cache once on the driver and
+    broadcasts it to every serving actor — results must be identical
+    to the cold pool, including for queries NOT in the warm set."""
+    import ray.data
+
+    from searchengine_ray.query.engine import search_dataset
+
+    _, idx = small_index
+    qtbl = [{"query_id": i, "query": "games" if i % 2 else "gaming cafe"}
+            for i in range(12)]
+    cold = search_dataset(
+        ray.data.from_items(qtbl), idx, n=5, concurrency=2, batch_size=6,
+    ).take_all()
+    warm = search_dataset(
+        ray.data.from_items(qtbl), idx, n=5, concurrency=2, batch_size=6,
+        warm_queries=["games"],           # half the workload prewarmed
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, cold)) == sorted(map(key, warm))
