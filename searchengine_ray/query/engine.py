@@ -202,7 +202,10 @@ class QueryActor:
     ``__call__`` (SURVEY §2.3 ST5 as an actor pool)."""
 
     def __init__(self, index_dir: str, n: int = 10, with_urls: bool = False,
-                 warm_cache_ref=None, **searcher_kw):
+                 warm_cache_ref=None, result_cache_size: int = 0,
+                 **searcher_kw):
+        import collections
+
         import ray
 
         self.searcher = Searcher(index_dir, **searcher_kw)
@@ -213,6 +216,25 @@ class QueryActor:
             self.searcher.reader.load_cache(warm)
         self.n = n
         self.with_urls = with_urls
+        # cross-batch query→result LRU (the classic search result
+        # cache; sound because the index is immutable for the actor's
+        # lifetime). 0 = off.
+        self.result_cache_size = result_cache_size
+        self._result_cache: collections.OrderedDict[str, pa.Table] = \
+            collections.OrderedDict()
+
+    def _search_memo(self, query: str) -> pa.Table:
+        if self.result_cache_size:
+            res = self._result_cache.get(query)
+            if res is not None:
+                self._result_cache.move_to_end(query)
+                return res
+        res = self.searcher.search(query, self.n, with_urls=self.with_urls)
+        if self.result_cache_size:
+            self._result_cache[query] = res
+            if len(self._result_cache) > self.result_cache_size:
+                self._result_cache.popitem(last=False)
+        return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores, urls = [], [], [], [], []
@@ -225,9 +247,7 @@ class QueryActor:
         ):
             res = res_of.get(query)
             if res is None:
-                res = res_of[query] = self.searcher.search(
-                    query, self.n, with_urls=self.with_urls
-                )
+                res = res_of[query] = self._search_memo(query)
             m = res.num_rows
             qids.extend([qid] * m)
             ranks.extend(res["rank"].to_pylist())
@@ -265,8 +285,10 @@ def search_dataset(queries_ds, index_dir: str, n: int = 10,
 
     ctor = dict(index_dir=index_dir, n=n, **kw)
     if warm_queries:
-        s = Searcher(index_dir,
-                     **{k: v for k, v in kw.items() if k != "with_urls"})
+        s = Searcher(index_dir, **{
+            k: v for k, v in kw.items()
+            if k not in ("with_urls", "result_cache_size")
+        })
         terms: list[str] = []
         for q in warm_queries:
             terms.extend(s.tokenizer.tokenize(q))

@@ -285,3 +285,25 @@ def test_search_dataset_warm_broadcast_identical(small_index):
     ).take_all()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])
     assert sorted(map(key, cold)) == sorted(map(key, warm))
+
+
+def test_search_dataset_result_cache_identical(small_index):
+    """The cross-batch result LRU must not change any output, and the
+    LRU must evict (size 1) without affecting results."""
+    import ray.data
+
+    from searchengine_ray.query.engine import search_dataset
+
+    _, idx = small_index
+    qtbl = [{"query_id": i,
+             "query": ["games", "gaming cafe", "player"][i % 3]}
+            for i in range(18)]
+    base = search_dataset(
+        ray.data.from_items(qtbl), idx, n=5, concurrency=2, batch_size=3,
+    ).take_all()
+    memo = search_dataset(
+        ray.data.from_items(qtbl), idx, n=5, concurrency=2, batch_size=3,
+        result_cache_size=1,          # constant eviction churn
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, base)) == sorted(map(key, memo))
