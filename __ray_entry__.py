@@ -635,6 +635,18 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
+
+
+def _q_chunk_documents(sf_dir: str):
+    from searchengine_ray.pipelines.curate import chunk_documents_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        lambda b: chunk_documents_batch(b, CHUNK_TOKENS, CHUNK_STRIDE),
+        batch_format="pyarrow",
+    )
+
+
 SESSION_GAP_US = 1_800_000_000
 
 
@@ -745,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "keywords_topk": _q_keywords,
         "sessionize": _q_sessionize,
+        "chunk_documents": _q_chunk_documents,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -964,6 +977,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["keywords_topk"] = oracles.sql_keywords_topk(pclass, KEYWORDS_K)
     out["sessionize"] = oracles.sql_sessionize(SESSION_GAP_US)
+    out["chunk_documents"] = oracles.sql_chunk_documents(
+        pclass, CHUNK_TOKENS, CHUNK_STRIDE
+    )
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

@@ -172,3 +172,69 @@ def host_cap_sample(docs_ds, cap: int, host_col: str = "source"):
     return docs_ds.groupby(host_col).map_groups(
         cap_group, batch_format="pyarrow"
     )
+
+
+def chunk_documents_batch(batch: pa.Table, chunk_tokens: int = 64,
+                          stride: int = 48) -> pa.Table:
+    """→ (doc_id, chunk_seq, n_tokens, chunk_fp): fixed-size token
+    windows with stride (overlap = chunk_tokens - stride), the standard
+    training-prep chunking step. Chunk text is the ' '-join of the
+    simple-token window; the md5 fingerprint pins exact content while
+    keeping the contract compare small. Vectorized: one list_slice +
+    binary_join per chunk INDEX (a short loop over the batch's max
+    chunk count), never per document."""
+    import hashlib
+
+    from searchengine_ray.pipelines.analysis import MIN_TOKEN_LEN, PUNCT_CLASS
+
+    cleaned = pc.replace_substring_regex(
+        batch["text"], pattern=PUNCT_CLASS, replacement=" ")
+    lists = pc.utf8_split_whitespace(pc.utf8_lower(cleaned))
+    # re-filter short tokens inside the lists (same rule as
+    # simple_tokens_flat, kept as a ListArray for list_slice)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+        parents = parents.combine_chunks()
+        keep = keep.combine_chunks()
+    flat = flat.filter(keep)
+    par = np.asarray(parents.filter(keep), dtype=np.int64)
+    counts = np.bincount(par, minlength=batch.num_rows)
+    offsets = np.zeros(batch.num_rows + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+
+    n = counts
+    doc_ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc, out_seq, out_ntok, out_fp = [], [], [], []
+    max_chunks = int(np.ceil(n.max() / stride)) if len(n) and n.max() else 0
+    for c in range(max_chunks):
+        start = c * stride
+        live = n > start
+        if not live.any():
+            break
+        sliced = pc.list_slice(lists, start, start + chunk_tokens)
+        joined = pc.binary_join(sliced, " ")
+        idx = np.flatnonzero(live)
+        out_doc.append(doc_ids_np[idx])
+        out_seq.append(np.full(idx.size, c, np.int64))
+        out_ntok.append(np.minimum(n[idx] - start, chunk_tokens))
+        txts = joined.take(pa.array(idx, pa.int64())).to_pylist()
+        out_fp.extend(hashlib.md5(t.encode("utf-8")).hexdigest()
+                      for t in txts)
+    if not out_doc:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_seq": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_fp": pa.array([], pa.string()),
+        })
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+        "chunk_seq": pa.array(np.concatenate(out_seq), pa.int64()),
+        "n_tokens": pa.array(np.concatenate(out_ntok).astype(np.int64),
+                             pa.int64()),
+        "chunk_fp": pa.array(out_fp, pa.string()),
+    })

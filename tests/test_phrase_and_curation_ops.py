@@ -186,6 +186,34 @@ def test_keywords_topk(ray_session):
     assert (out.groupby("doc_id")["rank"].max() <= 2).all()
 
 
+def test_chunk_documents_batch():
+    """Stride windows: starts at 0, S, 2S while < n_tokens; last chunk
+    truncated; empty docs produce no chunks; fingerprints pin content."""
+    import hashlib
+
+    from searchengine_ray.pipelines.curate import chunk_documents_batch
+
+    toks = [f"tok{i:02d}" for i in range(10)]
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([" ".join(toks), "aa bb", ""], pa.string()),
+    })
+    out = chunk_documents_batch(batch, chunk_tokens=4, stride=3)
+    rows = sorted(out.to_pylist(), key=lambda r: (r["doc_id"],
+                                                  r["chunk_seq"]))
+    d0 = [r for r in rows if r["doc_id"] == 0]
+    # starts 0,3,6,9 → lengths 4,4,4,1
+    assert [r["n_tokens"] for r in d0] == [4, 4, 4, 1]
+    assert d0[0]["chunk_fp"] == hashlib.md5(
+        " ".join(toks[0:4]).encode()).hexdigest()
+    assert d0[1]["chunk_fp"] == hashlib.md5(
+        " ".join(toks[3:7]).encode()).hexdigest()
+    assert d0[3]["chunk_fp"] == hashlib.md5(toks[9].encode()).hexdigest()
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["n_tokens"] == 2
+    assert not [r for r in rows if r["doc_id"] == 2]
+
+
 def test_sessionize(ray_session):
     """Sessions break on gaps > gap_us per user; session_id is the
     first event's id; seq is 1-based within session."""
