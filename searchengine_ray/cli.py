@@ -204,6 +204,68 @@ def cmd_bulk(args) -> int:
     return 0
 
 
+def cmd_curate_op(args) -> int:
+    """Single curation/analysis op over a documents (or events) parquet
+    → parquet out. Ops: chunk (stride token windows), decontam (n-gram
+    overlap vs --probe docs), keywords (per-doc top-k TF-IDF), pii
+    (email/phone redaction stats), repetition (Gopher dup counters),
+    hostcap (per-host doc cap), sessionize (gap sessions over events)."""
+    import json as _json
+
+    import ray.data
+
+    if args.op == "sessionize":
+        from searchengine_ray.pipelines.events import sessionize
+
+        ds = ray.data.read_parquet(
+            args.documents, columns=["event_id", "ts", "user_id"])
+        out = sessionize(ds, gap_us=args.gap_us)
+    elif args.op == "hostcap":
+        from searchengine_ray.pipelines.curate import host_cap_sample
+
+        ds = ray.data.read_parquet(
+            args.documents, columns=["doc_id", args.host_column])
+        out = host_cap_sample(ds, cap=args.cap, host_col=args.host_column)
+    else:
+        ds = ray.data.read_parquet(args.documents,
+                                   columns=["doc_id", "text"])
+        if args.op == "chunk":
+            from searchengine_ray.pipelines.curate import (
+                chunk_documents_batch,
+            )
+
+            ct, st = args.chunk_tokens, args.stride
+            out = ds.map_batches(
+                lambda b: chunk_documents_batch(b, ct, st),
+                batch_format="pyarrow",
+            )
+        elif args.op == "decontam":
+            from searchengine_ray.pipelines.decontam import decontaminate
+
+            probe = ray.data.read_parquet(args.probe,
+                                          columns=["doc_id", "text"])
+            out = decontaminate(ds, probe, n=args.ngram)
+        elif args.op == "keywords":
+            from searchengine_ray.pipelines.analysis import keywords_topk
+
+            out = keywords_topk(ds, k=args.k)
+        elif args.op == "pii":
+            from searchengine_ray.pipelines.analysis import pii_redact_batch
+
+            out = ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+        else:   # repetition
+            from searchengine_ray.pipelines.analysis import (
+                repetition_stats_batch,
+            )
+
+            out = ds.map_batches(repetition_stats_batch,
+                                 batch_format="pyarrow")
+    out.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(_json.dumps({"op": args.op, "rows": n, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -248,8 +310,27 @@ def main(argv=None) -> int:
     pa_.add_argument("--n-centroids", type=int, default=16)
     pa_.add_argument("--nprobe", type=int, default=4)
     pa_.add_argument("--ivf-index", default=None)
+    pc_ = sub.add_parser("curate")
+    pc_.add_argument("--op", required=True,
+                     choices=["chunk", "decontam", "keywords", "pii",
+                              "repetition", "hostcap", "sessionize"])
+    pc_.add_argument("--documents", nargs="+", required=True,
+                     help="documents parquet (events parquet for "
+                          "sessionize)")
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--probe", nargs="+", default=None,
+                     help="decontam: probe/eval docs parquet")
+    pc_.add_argument("--ngram", type=int, default=5)
+    pc_.add_argument("--chunk-tokens", type=int, default=64)
+    pc_.add_argument("--stride", type=int, default=48)
+    pc_.add_argument("--k", type=int, default=3)
+    pc_.add_argument("--cap", type=int, default=1000)
+    pc_.add_argument("--host-column", default="source")
+    pc_.add_argument("--gap-us", type=int, default=1_800_000_000)
     args = ap.parse_args(argv)
-    if args.cmd in ("dedup", "ann", "bulk"):  # Dataset pipelines need Ray
+    if args.cmd == "curate" and args.op == "decontam" and not args.probe:
+        ap.error("--probe is required for --op decontam")
+    if args.cmd in ("dedup", "ann", "bulk", "curate"):  # need Ray
         import ray
 
         if not ray.is_initialized():
@@ -265,6 +346,8 @@ def main(argv=None) -> int:
         return cmd_ann(args)
     if args.cmd == "bulk":
         return cmd_bulk(args)
+    if args.cmd == "curate":
+        return cmd_curate_op(args)
     return cmd_search(args)
 
 

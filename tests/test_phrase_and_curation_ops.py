@@ -261,3 +261,57 @@ def test_repetition_stats_batch():
     assert rows[1]["dup_trigram_occurrences"] == 0
     assert rows[2]["n_bigrams"] == 0
     assert rows[2]["n_trigrams"] == 0
+
+
+def test_cli_curate_ops(ray_session, tmp_path, capsys):
+    """The curate CLI runs each op end-to-end and writes parquet."""
+    import json
+
+    from searchengine_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta alpha beta",
+            "totally different words",
+        ], pa.string()),
+        "source": pa.array(["a.com", "a.com", "b.org"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    for op, extra in (
+        ("chunk", ["--chunk-tokens", "3", "--stride", "2"]),
+        ("decontam", ["--probe", src, "--ngram", "2"]),
+        ("keywords", ["--k", "2"]),
+        ("pii", []),
+        ("repetition", []),
+    ):
+        out_dir = str(tmp_path / f"out_{op}")
+        rc = main(["curate", "--op", op, "--documents", src,
+                   "--output", out_dir] + extra)
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["rows"] > 0, op
+
+    # hostcap on the source column
+    rc = main(["curate", "--op", "hostcap", "--documents", src,
+               "--output", str(tmp_path / "out_hostcap"), "--cap", "1",
+               "--host-column", "source"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 2    # one per host
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([0, 10_000_000_000], pa.timestamp("us")),
+        "user_id": pa.array([7, 7], pa.int64()),
+    })
+    evp = str(tmp_path / "events.parquet")
+    pq.write_table(ev, evp)
+    rc = main(["curate", "--op", "sessionize", "--documents", evp,
+               "--output", str(tmp_path / "out_sess")])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 2
