@@ -419,6 +419,13 @@ def _q_search_bm25_french(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(language="french")))
 
 
+def _q_search_bm25_italian(sf_dir: str):
+    """BM25 over an Italian-stemmed index (Snowball Italian, round-3):
+    the same query suite, every term stemmed by
+    text/stemmer.italian_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="italian")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -750,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
+        "search_bm25_italian": _q_search_bm25_italian,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -959,6 +967,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_french"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="french"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_italian"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="italian"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

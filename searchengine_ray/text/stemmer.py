@@ -1133,10 +1133,220 @@ def french_stem(word: str) -> str:
     return w.replace("U", "u").replace("I", "i").replace("Y", "y")
 
 
+# ---------------------------------------------------------------------------
+# Snowball Italian stemmer, clean-room from the published algorithm
+# (snowballstem.org, "The Italian stemming algorithm") — public
+# knowledge (reference tokenizer.py:24-33 accepts any Snowball language
+# name). Same region semantics as Spanish: steps 0, 2, 3a, 3b match
+# their suffix only within RV; step 1 longest-matches over the whole
+# marked word and then tests R1/R2/RV.
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+
+_IT_PRONOUNS = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+    "vele", "veli", "velo", "vene", "gli", "ci", "la", "le", "li",
+    "lo", "mi", "ne", "si", "ti", "vi",
+)
+
+_IT_STEP1 = [
+    (("abile", "abili", "ibile", "ibili", "atrice", "atrici", "anza",
+      "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste", "isti",
+      "istà", "istè", "istì", "ante", "anti", "mente", "ico", "ici",
+      "ica", "ice", "oso", "osi", "osa", "ose"), "del_r2"),
+    (("azione", "azioni", "atore", "atori"), "del_r2_ic"),
+    (("logia", "logie"), "log"),
+    (("uzione", "uzioni", "usione", "usioni"), "u"),
+    (("enza", "enze"), "ente"),
+    (("amento", "amenti", "imento", "imenti"), "del_rv"),
+    (("amente",), "amente"),
+    (("ità",), "ita"),
+    (("ivo", "ivi", "iva", "ive"), "iva"),
+]
+
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "iamo", "immo", "irai",
+    "irei", "isca", "isce", "isci", "isco", "ano", "are", "ata",
+    "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere", "erò",
+    "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite",
+    "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti",
+    "uto", "ar", "ir",
+)
+
+
+def _it_mark(word: str) -> str:
+    """Prelude: acute→grave accents; then u after q and u/i between
+    vowels marked U/I (consonants)."""
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"),
+                 ("ú", "ù")):
+        word = word.replace(a, b)
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+            continue
+        if c in ("u", "i") and 0 < i < n - 1 \
+                and chars[i - 1] in _IT_VOWELS \
+                and word[i + 1] in _IT_VOWELS:
+            chars[i] = c.upper()
+    return "".join(chars)
+
+
+def _it_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] in _IT_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _IT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _it_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _IT_VOWELS:
+            i += 1
+        while i < n and w[i] in _IT_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+def italian_stem(word: str) -> str:
+    """Snowball Italian stem of a lower-case word."""
+    w = _it_mark(word.lower())
+    rv = _it_rv(w)
+    r1, r2 = _it_r1r2(w)
+
+    def in_rv(wd: str, k: int) -> bool:
+        return len(wd) - k >= rv
+
+    def in_r1(wd: str, k: int) -> bool:
+        return len(wd) - k >= r1
+
+    def in_r2(wd: str, k: int) -> bool:
+        return len(wd) - k >= r2
+
+    # Step 0 — attached pronoun (all inside RV); (a) ando/endo:
+    # delete; (b) ar/er/ir: replace the pronoun with e
+    for p in _IT_PRONOUNS:
+        if not (w.endswith(p) and in_rv(w, len(p))):
+            continue
+        base = w[: len(w) - len(p)]
+        if base.endswith(("ando", "endo")) and in_rv(base, 4):
+            w = base
+        elif base.endswith(("ar", "er", "ir")) and in_rv(base, 2):
+            w = base + "e"
+        break           # longest pronoun decides; no shorter fallback
+
+    # Step 1 — standard suffix (longest match over the whole word)
+    matched = None
+    for sfxs, action in _IT_STEP1:
+        for s in sfxs:
+            if w.endswith(s) and (matched is None
+                                  or len(s) > len(matched[0])):
+                matched = (s, action)
+    step1_removed = False
+    if matched is not None:
+        s, action = matched
+        k = len(w) - len(s)
+        if action == "del_r2" and in_r2(w, len(s)):
+            w = w[:k]
+            step1_removed = True
+        elif action == "del_r2_ic" and in_r2(w, len(s)):
+            w = w[:k]
+            if w.endswith("ic") and in_r2(w, 2):
+                w = w[:-2]
+            step1_removed = True
+        elif action == "log" and in_r2(w, len(s)):
+            w = w[:k] + "log"
+            step1_removed = True
+        elif action == "u" and in_r2(w, len(s)):
+            w = w[:k] + "u"
+            step1_removed = True
+        elif action == "ente" and in_r2(w, len(s)):
+            w = w[:k] + "ente"
+            step1_removed = True
+        elif action == "del_rv" and in_rv(w, len(s)):
+            w = w[:k]
+            step1_removed = True
+        elif action == "amente" and in_r1(w, len(s)):
+            w = w[:k]
+            if w.endswith("iv") and in_r2(w, 2):
+                w = w[:-2]
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+            elif w.endswith(("os", "ic")) and in_r2(w, 2):
+                w = w[:-2]
+            elif w.endswith("abil") and in_r2(w, 4):
+                w = w[:-4]
+            step1_removed = True
+        elif action == "ita" and in_r2(w, len(s)):
+            w = w[:k]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and in_r2(w, len(pre)):
+                    w = w[: len(w) - len(pre)]
+                    break
+            step1_removed = True
+        elif action == "iva" and in_r2(w, len(s)):
+            w = w[:k]
+            if w.endswith("at") and in_r2(w, 2):
+                w = w[:-2]
+                if w.endswith("ic") and in_r2(w, 2):
+                    w = w[:-2]
+            step1_removed = True
+
+    # Step 2 — verb suffixes (only if step 1 removed nothing); longest
+    # suffix lying inside RV
+    if not step1_removed:
+        best = None
+        for s in _IT_STEP2:
+            if w.endswith(s) and in_rv(w, len(s)) \
+                    and (best is None or len(s) > len(best)):
+                best = s
+        if best is not None:
+            w = w[: len(w) - len(best)]
+
+    # Step 3a — final vowel (and a preceding i), inside RV
+    if w and w[-1] in "aeioàèìò" and in_rv(w, 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(w, 1):
+            w = w[:-1]
+
+    # Step 3b — ch/gh → c/g inside RV
+    if w.endswith(("ch", "gh")) and in_rv(w, 2):
+        w = w[:-1]
+
+    return w.replace("U", "u").replace("I", "i")
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
     "german": german_stem,  # Snowball German
     "spanish": spanish_stem,  # Snowball Spanish
     "french": french_stem,  # Snowball French
+    "italian": italian_stem,  # Snowball Italian
 }
