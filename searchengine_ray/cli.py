@@ -211,8 +211,19 @@ def cmd_curate_op(args) -> int:
     (email/phone redaction stats), repetition (Gopher dup counters),
     hostcap (per-host doc cap), sessionize (gap sessions over events)."""
     import json as _json
+    import os as _os
+    import shutil as _shutil
 
     import ray.data
+
+    if _os.path.isdir(args.output) and _os.listdir(args.output):
+        if not args.overwrite:
+            raise SystemExit(
+                f"output dir {args.output!r} exists and is not empty; "
+                "pass --overwrite to replace it (a rerun would otherwise "
+                "append duplicate files)"
+            )
+        _shutil.rmtree(args.output)
 
     if args.op == "sessionize":
         from searchengine_ray.pipelines.events import sessionize
@@ -327,6 +338,8 @@ def main(argv=None) -> int:
     pc_.add_argument("--cap", type=int, default=1000)
     pc_.add_argument("--host-column", default="source")
     pc_.add_argument("--gap-us", type=int, default=1_800_000_000)
+    pc_.add_argument("--overwrite", action="store_true",
+                     help="replace a non-empty output dir")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")

@@ -315,3 +315,29 @@ def test_cli_curate_ops(ray_session, tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 2
+
+
+def test_cli_curate_refuses_nonempty_output(ray_session, tmp_path, capsys):
+    """Rerunning into a non-empty output dir refuses without
+    --overwrite (a rerun would append duplicate parquet files)."""
+    import json
+
+    from searchengine_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["alpha beta gamma"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out_dir = str(tmp_path / "out")
+    assert main(["curate", "--op", "repetition", "--documents", src,
+                 "--output", out_dir]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="overwrite"):
+        main(["curate", "--op", "repetition", "--documents", src,
+              "--output", out_dir])
+    assert main(["curate", "--op", "repetition", "--documents", src,
+                 "--output", out_dir, "--overwrite"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 1     # no duplicate append
