@@ -352,12 +352,21 @@ def keywords_topk(docs_ds, k: int = 3, concurrency=None):
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
     n_docs = docs_ds.count()
-    df_rows = (docs_ds
-               .map_batches(term_df_partial_batch, batch_format="pyarrow")
-               .groupby("term").sum("df_partial")
-               .take_all())
-    terms = pa.array([r["term"] for r in df_rows], pa.string())
-    dfs = np.array([r["sum(df_partial)"] for r in df_rows], np.float64)
+    # df via per-batch partials folded ON THE DRIVER (vocabulary-bounded
+    # — the same pattern as the build's sidecar stats fold): skips the
+    # ray groupby barrier whose fixed sort cost dominates a
+    # broadcast-sized aggregate
+    parts = docs_ds.map_batches(
+        term_df_partial_batch, batch_format="pyarrow"
+    ).take_all()
+    folded = pa.table({
+        "term": pa.array([r["term"] for r in parts], pa.string()),
+        "df_partial": pa.array([r["df_partial"] for r in parts],
+                               pa.int64()),
+    }).group_by("term").aggregate([("df_partial", "sum")])
+    terms = folded["term"].combine_chunks()
+    dfs = folded["df_partial_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
     # libm log over distinct values (np.log differs in the last ulp)
     idf = np.array([round(math.log(n_docs / d), 3) for d in dfs],
                    np.float64)
