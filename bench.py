@@ -105,20 +105,30 @@ def run_bench() -> dict:
     n_total_docs = sum(_pq.read_metadata(p).num_rows for p in corpus)
 
     # -- phase 1: index build (fresh, no resume) --------------------------
+    # best-of-2 full rebuilds in the default mode (same box-noise shield
+    # as the other legs; a rebuild costs only a few seconds). --scaling
+    # (GRAFT_BENCH_PHASES=build) keeps ONE build per process — its
+    # best-of-N repetition lives in run_scaling.
     idx_dir = f"/tmp/bench_idx_{sf_name}_{NUM_CPUS}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    manifest = build_index(
-        corpus, idx_dir,
-        # the synthetic vocabulary is ~30 head terms — salting is what
-        # gives the merge shuffle its parallelism (skew handling at work)
-        IndexConfig(num_shards=max(8, NUM_CPUS // 2), hot_salts=8,
-                    hot_frac=0.005),
-        # ~3 fragments per CPU: load-balances the fused wave (a single
-        # fragment per 20k-row file leaves a third of the pool idle)
-        target_rows_per_fragment=max(5000, n_total_docs // (NUM_CPUS * 3)),
-    )
-    build_sec = time.perf_counter() - t0
+    build_runs = 1 if os.environ.get("GRAFT_BENCH_PHASES") == "build" else 2
+    build_sec, manifest = None, None
+    for _ in range(build_runs):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        m = build_index(
+            corpus, idx_dir,
+            # the synthetic vocabulary is ~30 head terms — salting is
+            # what gives the merge shuffle its parallelism
+            IndexConfig(num_shards=max(8, NUM_CPUS // 2), hot_salts=8,
+                        hot_frac=0.005),
+            # ~3 fragments per CPU: load-balances the fused wave (a
+            # single fragment per 20k-row file leaves a third idle)
+            target_rows_per_fragment=max(
+                5000, n_total_docs // (NUM_CPUS * 3)),
+        )
+        dt = time.perf_counter() - t0
+        if build_sec is None or dt < build_sec:
+            build_sec, manifest = dt, m
     n_docs = manifest["corpus"]["n_docs"]
     detail["build_sec"] = round(build_sec, 3)
     detail["build_docs_per_sec"] = round(n_docs / build_sec, 1)
