@@ -642,6 +642,15 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+LM_ADD_K = 0.5
+
+
+def _q_lm_perplexity(sf_dir: str):
+    from searchengine_ray.pipelines.lm import bigram_lm_score
+
+    return bigram_lm_score(_docs_ds(sf_dir), add_k=LM_ADD_K)
+
+
 CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
 
 
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_topk": _q_keywords,
         "sessionize": _q_sessionize,
         "chunk_documents": _q_chunk_documents,
+        "lm_perplexity": _q_lm_perplexity,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -992,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
     out["chunk_documents"] = oracles.sql_chunk_documents(
         pclass, CHUNK_TOKENS, CHUNK_STRIDE
     )
+    out["lm_perplexity"] = oracles.sql_bigram_lm(pclass, LM_ADD_K)
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

@@ -260,6 +260,14 @@ def cmd_curate_op(args) -> int:
             from searchengine_ray.pipelines.analysis import keywords_topk
 
             out = keywords_topk(ds, k=args.k)
+        elif args.op == "lm":
+            from searchengine_ray.pipelines.lm import bigram_lm_score
+
+            train = (ray.data.read_parquet(args.probe,
+                                           columns=["doc_id", "text"])
+                     if args.probe else None)
+            out = bigram_lm_score(ds, train_ds=train, add_k=args.add_k,
+                                  min_count=args.min_count)
         elif args.op == "pii":
             from searchengine_ray.pipelines.analysis import pii_redact_batch
 
@@ -324,7 +332,8 @@ def main(argv=None) -> int:
     pc_ = sub.add_parser("curate")
     pc_.add_argument("--op", required=True,
                      choices=["chunk", "decontam", "keywords", "pii",
-                              "repetition", "hostcap", "sessionize"])
+                              "repetition", "hostcap", "sessionize",
+                              "lm"])
     pc_.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
                           "sessionize)")
@@ -340,6 +349,11 @@ def main(argv=None) -> int:
     pc_.add_argument("--gap-us", type=int, default=1_800_000_000)
     pc_.add_argument("--overwrite", action="store_true",
                      help="replace a non-empty output dir")
+    pc_.add_argument("--add-k", type=float, default=0.5,
+                     help="lm: add-k smoothing constant")
+    pc_.add_argument("--min-count", type=int, default=1,
+                     help="lm: prune bigrams below this count before "
+                          "the broadcast (the web-scale knob)")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")

@@ -341,3 +341,63 @@ def test_cli_curate_refuses_nonempty_output(ray_session, tmp_path, capsys):
                  "--output", out_dir, "--overwrite"]) == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 1     # no duplicate append
+
+
+def test_bigram_lm_score(ray_session):
+    """Add-k bigram LM: hand-computed quantized log-probs on a tiny
+    corpus; repeated bigrams score higher (less negative) than unique
+    ones; cross-corpus scoring uses the training corpus's counts."""
+    import math
+
+    import ray.data
+
+    from searchengine_ray.pipelines.lm import QUANT, bigram_lm_score
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb aa bb", "aa cc"], pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+    out = bigram_lm_score(ds, add_k=0.5).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # corpus: tokens aa bb aa bb aa cc -> uni: aa=3 bb=2 cc=1, V=3
+    # bigrams: "aa bb"=2, "bb aa"=1, "aa cc"=1
+    k, v = 0.5, 3
+
+    def lp(cb, cu):
+        return int(np.round(math.log((cb + k) / (cu + k * v)) * QUANT))
+
+    d0 = lp(2, 3) + lp(1, 2) + lp(2, 3)     # aa-bb, bb-aa, aa-bb
+    d1 = lp(1, 3)                           # aa-cc
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "logprob_q6"] == d0
+    assert out.loc[1, "logprob_q6"] == d1
+    # per-bigram: the frequent "aa bb" outscores the rare "aa cc"
+    assert lp(2, 3) > lp(1, 3)
+
+    # cross-corpus: train on docs, score an unseen doc -> unseen
+    # bigram/unigram fall back to the smoothed floor (counts 0)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["zz qq"], pa.string()),
+    }))
+    out2 = bigram_lm_score(new, train_ds=ds, add_k=0.5).to_pandas()
+    assert out2.loc[0, "logprob_q6"] == lp(0, 0)
+
+
+def test_cli_curate_lm(ray_session, tmp_path, capsys):
+    import json
+
+    from searchengine_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb aa bb", "aa cc"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    rc = main(["curate", "--op", "lm", "--documents", src,
+               "--output", str(tmp_path / "out_lm")])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 2
