@@ -338,32 +338,55 @@ class KeywordStage:
         })
 
 
-def keywords_topk(docs_ds, k: int = 3, concurrency=None):
+def _df_and_ndocs_partial_batch(batch: pa.Table) -> pa.Table:
+    """df partials plus a doc-count sentinel row (term ``""`` — tokens
+    are always >= MIN_TOKEN_LEN chars, so the empty string can never
+    collide with a real term). Folds the corpus doc count into the
+    same pass as the df partials: one scan instead of two."""
+    t = term_df_partial_batch(batch)
+    return pa.table({
+        "term": pa.concat_arrays([
+            t["term"].combine_chunks(),
+            pa.array([""], pa.string()),
+        ]),
+        "df_partial": pa.concat_arrays([
+            t["df_partial"].combine_chunks(),
+            pa.array([batch.num_rows], pa.int64()),
+        ]),
+    })
+
+
+def keywords_topk(docs_ds, k: int = 3, concurrency=None,
+                  fold_mode: str = "auto"):
     """→ Dataset (doc_id, rank, term, score_q4): each doc's top-k
-    simple-token TF-IDF keywords (score desc, term asc ties). The df
-    aggregate runs as per-batch partials + ONE small groupby-sum, is
-    pulled to the driver (vocabulary-bounded) and broadcast; the
-    scoring pass itself needs no shuffle. At web scale, cap the
-    broadcast by df/vocab pruning before the ``take_all``."""
+    simple-token TF-IDF keywords (score desc, term asc ties). TWO
+    corpus scans total: the df aggregate runs as per-batch partials
+    (with the doc count folded in as a sentinel row) through the
+    bounded fold of ``pipelines/fold.py`` — driver Arrow group_by for
+    broadcast-sized inputs, hash-exchange fold above the row limit so
+    the driver never holds the unpruned partial set — then the scoring
+    pass broadcasts the vocabulary-bounded idf table and needs no
+    shuffle."""
     import math
 
     import ray
 
+    from searchengine_ray.pipelines.fold import fold_count_partials
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
-    n_docs = docs_ds.count()
-    # df via per-batch partials folded ON THE DRIVER (vocabulary-bounded
-    # — the same pattern as the build's sidecar stats fold): skips the
-    # ray groupby barrier whose fixed sort cost dominates a
-    # broadcast-sized aggregate
-    parts = docs_ds.map_batches(
-        term_df_partial_batch, batch_format="pyarrow"
-    ).take_all()
-    folded = pa.table({
-        "term": pa.array([r["term"] for r in parts], pa.string()),
-        "df_partial": pa.array([r["df_partial"] for r in parts],
-                               pa.int64()),
-    }).group_by("term").aggregate([("df_partial", "sum")])
+    folded = fold_count_partials(
+        docs_ds.map_batches(
+            _df_and_ndocs_partial_batch, batch_format="pyarrow"
+        ),
+        key_cols=["term"],
+        sum_col="df_partial",
+        mode=fold_mode,
+    )
+    sentinel = pc.equal(folded["term"], "")
+    n_docs = int(
+        pc.sum(folded.filter(sentinel)["df_partial_sum"]).as_py() or 0
+    )
+    folded = folded.filter(pc.invert(sentinel))
     terms = folded["term"].combine_chunks()
     dfs = folded["df_partial_sum"].to_numpy(zero_copy_only=False) \
         .astype(np.float64)

@@ -64,25 +64,44 @@ def _counts_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def bigram_lm_train(docs_ds, min_count: int = 1):
+def _lm_prune(min_count: int):
+    """In-reduce prune: drop bigrams (kind=2) below the count floor.
+    Exact wherever it runs — a gram below floor in its complete global
+    sum is below floor, and hash partitioning puts each gram's
+    complete sum in one bucket. Unigrams are never floored (they are
+    the smoothing contexts and define V)."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        if min_count <= 1:
+            return t
+        keep = pc.or_(pc.equal(t["kind"], 1),
+                      pc.greater_equal(t["c_sum"], min_count))
+        return t.filter(keep)
+
+    return prune
+
+
+def bigram_lm_train(docs_ds, min_count: int = 1, fold_mode: str = "auto"):
     """→ (unigrams: Table(g,c), bigrams: Table(g,c), vocab_size):
-    add-k-ready corpus counts via per-batch partials + one driver-side
-    Arrow fold (vocabulary-bounded — the broadcast side). ``min_count``
-    prunes rare bigrams before the broadcast (the 100 TB knob; pruned
-    bigrams fall back to the smoothed floor at scoring time)."""
-    parts = docs_ds.map_batches(
-        _counts_partial, batch_format="pyarrow"
-    ).take_all()
-    tbl = pa.table({
-        "g": pa.array([r["g"] for r in parts], pa.string()),
-        "kind": pa.array([r["kind"] for r in parts], pa.int8()),
-        "c": pa.array([r["c"] for r in parts], pa.int64()),
-    }).group_by(["kind", "g"]).aggregate([("c", "sum")])
+    add-k-ready corpus counts via per-batch partials + a bounded fold
+    (``pipelines/fold.py``): driver-side Arrow group_by below the row
+    limit, a hash-exchange fold with the ``min_count`` floor applied
+    INSIDE the reduce above it — the driver never holds the unpruned
+    partial set. Pruned bigrams fall back to the smoothed floor at
+    scoring time (the 100 TB knob)."""
+    from searchengine_ray.pipelines.fold import fold_count_partials
+
+    tbl = fold_count_partials(
+        docs_ds.map_batches(_counts_partial, batch_format="pyarrow"),
+        key_cols=["kind", "g"],
+        sum_col="c",
+        bucket_col="g",
+        prune=_lm_prune(min_count),
+        mode=fold_mode,
+    )
     kind = tbl["kind"].to_numpy(zero_copy_only=False)
     uni = tbl.filter(pa.array(kind == 1)).select(["g", "c_sum"])
     bi = tbl.filter(pa.array(kind == 2)).select(["g", "c_sum"])
-    if min_count > 1:
-        bi = bi.filter(pc.greater_equal(bi["c_sum"], min_count))
     return uni, bi, uni.num_rows
 
 
@@ -158,16 +177,18 @@ class BigramLmScoreStage:
 
 
 def bigram_lm_score(docs_ds, train_ds=None, add_k: float = 0.5,
-                    min_count: int = 1, concurrency=None):
+                    min_count: int = 1, concurrency=None,
+                    fold_mode: str = "auto"):
     """→ Dataset (doc_id, n_bigrams, logprob_q6): add-k bigram LM
     score of every doc under a model trained on ``train_ds`` (default:
-    the same corpus). Training = partials + driver fold; scoring =
+    the same corpus). Training = partials + bounded fold; scoring =
     shuffle-free map_batches with the model broadcast via ray.put."""
     import ray
 
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
-    uni, bi, v = bigram_lm_train(train_ds or docs_ds, min_count=min_count)
+    uni, bi, v = bigram_lm_train(train_ds or docs_ds, min_count=min_count,
+                                 fold_mode=fold_mode)
     lm_ref = ray.put((uni, bi, v))
     return docs_ds.map_batches(
         BigramLmScoreStage,
