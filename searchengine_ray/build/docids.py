@@ -151,3 +151,34 @@ def read_corpus(
     return ray.data.read_datasource(
         CorpusDatasource(frags, columns=columns, id_column=id_column)
     )
+
+
+def external_ids_fit_int32(frags: list[Fragment], id_column: str) -> bool:
+    """Footer-statistics check that every external doc id in the planned
+    fragments fits int32 (metadata only — no data read). With
+    ``id_column`` set, ids are arbitrary corpus values (hash/snowflake
+    ids), so the build's row-count rule says nothing about their
+    domain; this gates the int32 spill narrowing on the ACTUAL id
+    range. Any row group missing min/max statistics disables the
+    narrowing (safe wide default)."""
+    lo, hi = -(2**31), 2**31 - 1
+    meta_cache: dict[str, object] = {}
+    for frag in frags:
+        md = meta_cache.get(frag.path)
+        if md is None:
+            md = pq.ParquetFile(frag.path).metadata
+            meta_cache[frag.path] = md
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ci = names.index(id_column)
+        except ValueError:
+            return False
+        for rg in frag.row_groups:
+            st = md.row_group(rg).column(ci).statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, int)
+                    or not isinstance(st.max, int)):
+                return False
+            if st.min < lo or st.max > hi:
+                return False
+    return True

@@ -22,6 +22,7 @@ re-expressed as Dataset pipelines):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -29,7 +30,11 @@ import time
 
 import pyarrow as pa
 
-from searchengine_ray.build.docids import Fragment, plan_fragments
+from searchengine_ray.build.docids import (
+    Fragment,
+    external_ids_fit_int32,
+    plan_fragments,
+)
 from searchengine_ray.build.extract import (
     fragment_stats_path,
     make_fragment_build_fn,
@@ -151,6 +156,42 @@ def _guard_resume_config(out_dir: str, cfg: IndexConfig,
     os.replace(tmp, path)
 
 
+def _sync_spill_schema(spill_dir: str, doc32: bool) -> None:
+    """Spill parquet schema depends on the doc32 narrowing decision,
+    which is not part of the fragment-set key (a code upgrade or an
+    id-domain change can flip it on an unchanged corpus). Record it in
+    a marker file; on mismatch, purge the spill files (cheap — they
+    regenerate from the tokenized checkpoints) so a resume never mixes
+    int32/int64 spill schemas in the reduce."""
+    os.makedirs(spill_dir, exist_ok=True)
+    marker = os.path.join(spill_dir, "spill_schema.json")
+    current = {"version": 1, "doc32": bool(doc32)}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                existing = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            existing = None
+        if existing == current:
+            return
+        for f in glob.glob(os.path.join(spill_dir, "*.parquet")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    elif glob.glob(os.path.join(spill_dir, "*.parquet")):
+        # pre-marker spills: schema unknown → purge once
+        for f in glob.glob(os.path.join(spill_dir, "*.parquet")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(current, fh)
+    os.replace(tmp, marker)
+
+
 def _sync_fragment_set(out_dir, tok_dir, shard_dir, spill_dir, frags):
     """Record the planned fragment set in ``fragments.json``; when it
     differs from the previous build's, delete the shard/spill artifacts
@@ -262,6 +303,19 @@ def build_index(
     # work and re-runs only the cheap reduce.
     _sync_fragment_set(out_dir, tok_dir, shard_dir, spill_dir, frags)
 
+    # narrow spill doc ids to int32 only when the ACTUAL id domain
+    # fits: the row-count rule is valid only for self-assigned ids
+    # (0..n-1); external id columns carry arbitrary int64 values, so
+    # gate on parquet footer min/max statistics instead (ADVICE r03)
+    doc32 = (
+        n_input_rows < 2**31 if id_column is None
+        else external_ids_fit_int32(frags, id_column)
+    )
+    # spill files are reused on resume, but their schema depends on
+    # doc32 — purge spills written under a different schema so a
+    # resumed/upgraded build never mixes list<int32>/list<int64>
+    _sync_spill_schema(spill_dir, doc32)
+
     pending = [
         f for f in frags
         if not (
@@ -293,9 +347,9 @@ def build_index(
             cfg, tok_dir, spill_dir, boundaries, hot_salt_of,
             id_column=id_column, text_column=text_column,
             url_column=url_column,
-            # narrow spill doc ids to int32 when every planned doc id
-            # fits — one schema per build, final shards byte-identical
-            doc32=n_input_rows < 2**31,
+            # one schema per build, final shards byte-identical;
+            # decided above from the actual id domain
+            doc32=doc32,
         ),
         batch_size=None,
         batch_format="pyarrow",

@@ -155,23 +155,43 @@ def _concurrency():
     return autoscale_concurrency()
 
 
+def _cap_lowest_per_host(tbl: pa.Table, cap: int,
+                         host_col: str) -> pa.Table:
+    """Keep the ``cap`` lowest-doc_id rows of each host, vectorized:
+    one sort by (host, doc_id), then a run-length rank filter."""
+    t = tbl.select(["doc_id", host_col]).sort_by(
+        [(host_col, "ascending"), ("doc_id", "ascending")]
+    )
+    if t.num_rows == 0:
+        return t
+    codes = pc.dictionary_encode(t[host_col]).combine_chunks() \
+        .indices.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+    rank = np.arange(len(codes)) - np.repeat(
+        starts, np.diff(np.append(starts, len(codes))))
+    return t.filter(pa.array(rank < cap))
+
+
 def host_cap_sample(docs_ds, cap: int, host_col: str = "source"):
     """Per-host document cap (Common-Crawl-style curation: no single
     host may dominate the corpus): keep the ``cap`` lowest-doc_id docs
-    of each host. ONE keyed shuffle (groupby host); deterministic and
+    of each host. A per-batch COMBINER keeps each batch's ``cap``
+    lowest doc_ids per host before the shuffle — exact, because the
+    global lowest-``cap`` set of a host is contained in the union of
+    per-partition lowest-``cap`` sets — cutting shuffle volume from N
+    rows to <= cap x hosts x partitions. Then ONE keyed shuffle
+    (groupby host) finishes the cap; deterministic and
     partitioning-independent. → Dataset (doc_id, host_col)."""
 
-    def cap_group(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")[:cap]
-        keep = g.select(["doc_id", host_col]).take(
-            pa.array(np.sort(order), pa.int64())
-        )
-        return keep
+    def cap_local(b: pa.Table) -> pa.Table:
+        return _cap_lowest_per_host(b, cap, host_col)
 
-    return docs_ds.groupby(host_col).map_groups(
-        cap_group, batch_format="pyarrow"
-    )
+    def cap_group(g: pa.Table) -> pa.Table:
+        return _cap_lowest_per_host(g, cap, host_col)
+
+    return docs_ds.map_batches(
+        cap_local, batch_format="pyarrow"
+    ).groupby(host_col).map_groups(cap_group, batch_format="pyarrow")
 
 
 def chunk_documents_batch(batch: pa.Table, chunk_tokens: int = 64,

@@ -420,10 +420,23 @@ def jaccard_verified_pairs(docs_ds, min_num: int = 1, min_den: int = 2):
     rounding at the knife edge). Texts reach the verify stage through
     two hash joins (pairs are the small side; no full-corpus
     materialization)."""
+    import ray.data
+
     from searchengine_ray.pipelines.similarity import autoscale_partitions
 
     nparts = autoscale_partitions()
-    cand = minhash_candidates(docs_ds)
+    # materialize the (small) candidate side: a zero-candidate corpus
+    # otherwise reaches the join as schemaless empty blocks and acero
+    # cannot resolve the key fields (ADVICE r03) — short-circuit to a
+    # typed empty result instead
+    cand = minhash_candidates(docs_ds).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+        }))
     da = docs_ds.map_batches(
         lambda b: pa.table({"jda": b["doc_id"], "text_a": b["text"]}),
         batch_format="pyarrow",

@@ -441,9 +441,19 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.3,
     VERIFIED by exact cosine ≥ threshold → Dataset (doc_a, doc_b,
     sim_q2). Pairs are the small side of two hash joins; cosine is
     float64 over the raw embedding values."""
+    import ray.data
+
     if num_partitions is None:
         num_partitions = autoscale_partitions()
-    cand = lsh_candidate_pairs(embeddings_ds, max_bucket=500)
+    # materialize the (small) candidate side: zero candidates would
+    # reach the join as schemaless empty blocks (ADVICE r03)
+    cand = lsh_candidate_pairs(embeddings_ds, max_bucket=500).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sim_q2": pa.array([], pa.int64()),
+        }))
 
     def pack(b: pa.Table, id_name: str, emb_name: str) -> pa.Table:
         # acero joins reject list<float> payload columns — carry the

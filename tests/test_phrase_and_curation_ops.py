@@ -115,6 +115,41 @@ def test_host_cap_sample(ray_session):
     assert by_host == {"a": [0, 1, 2], "b": [7, 8, 9]}
 
 
+def test_host_cap_combiner_bounds_shuffle_volume(ray_session):
+    """The pre-shuffle combiner ships <= cap rows per (host, batch) into
+    the groupby, and the combined result is exact regardless of how
+    rows are partitioned across batches."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import (
+        _cap_lowest_per_host,
+        host_cap_sample,
+    )
+
+    rs = np.random.RandomState(3)
+    n = 600
+    ids = rs.permutation(n).astype(np.int64)
+    hosts = np.array(["h%d" % (i % 4) for i in range(n)], object)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": pa.array(hosts, pa.string()),
+        "pad": pa.array(["x" * 50] * n, pa.string()),
+    })
+    # shuffle-volume bound: the combiner output of ONE batch is
+    # <= cap x distinct hosts, whatever the batch holds
+    capped = _cap_lowest_per_host(tbl, 5, "source")
+    assert capped.num_rows == 5 * 4
+    # exactness across an adversarial partitioning (12 small blocks,
+    # each seeing every host)
+    ds = ray.data.from_arrow(tbl).repartition(12)
+    out = host_cap_sample(ds, cap=5).to_pandas()
+    df = tbl.to_pandas()[["doc_id", "source"]]
+    exp = df.sort_values("doc_id").groupby("source").head(5)
+    got = {(r.source, r.doc_id) for r in out.itertuples()}
+    want = {(r.source, r.doc_id) for r in exp.itertuples()}
+    assert got == want
+
+
 def test_pii_redact_batch():
     from searchengine_ray.pipelines.analysis import pii_redact_batch
 
@@ -401,3 +436,36 @@ def test_cli_curate_lm(ray_session, tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 2
+
+
+def test_zero_candidate_pairs_keep_schema(ray_session):
+    """ADVICE r03: a corpus with no candidate pairs must yield typed
+    empty results (the join path would otherwise see schemaless empty
+    blocks and fail on the key fields)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import jaccard_verified_pairs
+    from searchengine_ray.pipelines.similarity import embedding_near_dup
+
+    rs = np.random.RandomState(0)
+    texts = [" ".join(f"w{rs.randint(10**9)}x{i}t{j}" for j in range(12))
+             for i in range(40)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    jds = jaccard_verified_pairs(ray.data.from_arrow(docs))
+    assert jds.schema().names == ["doc_a", "doc_b", "n_inter", "n_union"]
+    assert jds.take_all() == []
+    assert len(jds.to_pandas()) == 0  # must not raise (Ray drops
+    # columns on ANY empty to_pandas — schema lives on the dataset)
+
+    emb = rs.randn(40, 16).astype(np.float32)
+    et = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    eds = embedding_near_dup(ray.data.from_arrow(et), threshold=1.01)
+    assert eds.schema().names == ["doc_a", "doc_b", "sim_q2"]
+    assert eds.take_all() == []
+    assert len(eds.to_pandas()) == 0

@@ -307,3 +307,51 @@ def test_search_dataset_result_cache_identical(small_index):
     ).take_all()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])
     assert sorted(map(key, base)) == sorted(map(key, memo))
+
+
+def test_build_with_64bit_external_ids(ray_session, tmp_path):
+    """ADVICE r03 (medium): a corpus with < 2^31 rows but 64-bit
+    external ids (hash/snowflake) must not crash the int32 spill
+    narrowing — doc32 is gated on the actual id domain via parquet
+    footer statistics, not the planned row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.sources.pages import unit_pages
+
+    pages = unit_pages()
+    big = 2**40
+    ids = pa.array([big + 7 * i for i in range(pages.num_rows)], pa.int64())
+    src = str(tmp_path / "pages64.parquet")
+    pq.write_table(pages.append_column("ext_id", ids), src)
+    idx = str(tmp_path / "idx64")
+    build_index(src, idx, IndexConfig(num_shards=2), id_column="ext_id")
+    s = Searcher(idx)
+    hits = s.search("games", 3)
+    assert hits.num_rows > 0
+    assert all(d >= big for d in hits["doc_id"].to_pylist())
+
+
+def test_spill_schema_guard_purges_on_flip(tmp_path):
+    """A doc32 flip between resumes purges stale spill parquet instead
+    of mixing int32/int64 spill schemas in the reduce (ADVICE r03)."""
+    import os
+
+    from searchengine_ray.build.pipeline import _sync_spill_schema
+
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    junk = spill / "spill-000000000000-5.parquet"
+    junk.write_bytes(b"x")
+    # pre-marker spills have unknown schema → purged once
+    _sync_spill_schema(str(spill), doc32=True)
+    assert not junk.exists()
+    junk.write_bytes(b"x")
+    # same schema → spills kept
+    _sync_spill_schema(str(spill), doc32=True)
+    assert junk.exists()
+    # flip → purged
+    _sync_spill_schema(str(spill), doc32=False)
+    assert not junk.exists()
