@@ -426,6 +426,29 @@ def _q_search_bm25_italian(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(language="italian")))
 
 
+def _q_search_bm25_portuguese(sf_dir: str):
+    """BM25 over a Portuguese-stemmed index (Snowball Portuguese,
+    round-4): the same query suite, every term stemmed by
+    text/stemmer.portuguese_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="portuguese")))
+
+
+def _q_search_bm25_dutch(sf_dir: str):
+    """BM25 over a Dutch-stemmed index (Snowball Dutch, round-4): the
+    same query suite, every term stemmed by text/stemmer.dutch_stem on
+    both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="dutch")))
+
+
+def _q_search_bm25_russian(sf_dir: str):
+    """BM25 over a Russian-stemmed index (Snowball Russian, round-4):
+    the same query suite, every term stemmed by
+    text/stemmer.russian_stem on both the build and query sides (the
+    corpus is Latin-script, so the Cyrillic suffix steps mostly no-op —
+    the row still exercises the full build+query path end-to-end)."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="russian")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -767,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
         "search_bm25_italian": _q_search_bm25_italian,
+        "search_bm25_portuguese": _q_search_bm25_portuguese,
+        "search_bm25_dutch": _q_search_bm25_dutch,
+        "search_bm25_russian": _q_search_bm25_russian,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -981,6 +1007,18 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_italian"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="italian"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_portuguese"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="portuguese"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_dutch"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="dutch"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_russian"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="russian"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

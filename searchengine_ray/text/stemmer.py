@@ -1342,6 +1342,475 @@ def italian_stem(word: str) -> str:
     return w.replace("U", "u").replace("I", "i")
 
 
+# -- Snowball Portuguese ---------------------------------------------------
+# Clean-room implementation of the published Portuguese stemming
+# algorithm (snowballstem.org, "The Portuguese stemming algorithm").
+# Same among() semantics as the Spanish stemmer above: step 1
+# longest-matches over the whole word then tests its R1/R2/RV
+# condition with NO fallback; step 2 (and the residual steps) run
+# inside the RV limit, so a longer suffix reaching outside RV cannot
+# block a shorter one inside it.
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+
+# group 1: delete if in R2
+_PT_S1_R2_DEL = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores",
+    "aço~es", "antes", "ância", "aça~o", "ezas", "icos", "icas",
+    "ismos", "ível", "ável", "istas", "osos", "osas",
+    "adora", "eza", "ico", "ica", "ismo", "ista", "oso", "osa",
+    "ador", "ante",
+)
+_PT_S1_ALL = sorted(
+    set(_PT_S1_R2_DEL) | {
+        "logias", "logia", "uço~es", "uça~o", "ências", "ência",
+        "amente", "mente", "idades", "idade",
+        "ivas", "ivos", "iva", "ivo", "iras", "ira",
+    },
+    key=len, reverse=True,
+)
+
+_PT_STEP2 = sorted((
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+    "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+    "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
+    "irdes", "ares", "eres", "ires", "asses", "esses", "isses",
+    "astes", "estes", "istes", "is", "ais", "eis", "íeis", "aríeis",
+    "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis", "íreis",
+    "ireis", "ásseis", "ésseis", "ísseis", "ásteis", "ésteis",
+    "ísteis", "ados", "idos", "ámos", "amos", "íamos", "aríamos",
+    "eríamos", "iríamos", "áramos", "éramos", "íramos", "ávamos",
+    "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
+    "íssemos", "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
+    "ira", "iras",
+), key=len, reverse=True)
+
+
+def _pt_rv(w: str) -> int:
+    """Same RV rule as Spanish, over the Portuguese vowel set."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _PT_VOWELS:
+        for i in range(2, n):
+            if w[i] in _PT_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _PT_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _PT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _pt_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _PT_VOWELS:
+            i += 1
+        while i < n and w[i] in _PT_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+def portuguese_stem(word: str) -> str:
+    """Snowball Portuguese stem of a lower-case word. Nasalised vowels
+    are marked ã→a~, õ→o~ for the duration (spec prelude) and restored
+    at the end."""
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _pt_rv(w)
+    r1, r2 = _pt_r1r2(w)
+
+    def in_rv(wd: str, k: int) -> bool:
+        return len(wd) - k >= rv
+
+    def in_r1(wd: str, k: int) -> bool:
+        return len(wd) - k >= r1
+
+    def in_r2(wd: str, k: int) -> bool:
+        return len(wd) - k >= r2
+
+    altered = False
+
+    # Step 1: standard suffix removal (longest over the whole word,
+    # condition tested once, no fallback)
+    matched = None
+    for s in _PT_S1_ALL:
+        if w.endswith(s):
+            matched = s
+            break
+    if matched is not None:
+        s = matched
+        k = len(w) - len(s)
+        if s in _PT_S1_R2_DEL:
+            if in_r2(w, len(s)):
+                w = w[:k]
+                altered = True
+        elif s in ("logias", "logia"):
+            if in_r2(w, len(s)):
+                w = w[:k] + "log"
+                altered = True
+        elif s in ("uço~es", "uça~o"):
+            if in_r2(w, len(s)):
+                w = w[:k] + "u"
+                altered = True
+        elif s in ("ências", "ência"):
+            if in_r2(w, len(s)):
+                w = w[:k] + "ente"
+                altered = True
+        elif s == "amente":
+            if in_r1(w, len(s)):
+                w = w[:k]
+                altered = True
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) and in_r2(w, 2):
+                    w = w[:-2]
+        elif s == "mente":
+            if in_r2(w, len(s)):
+                w = w[:k]
+                altered = True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(w, 4):
+                        w = w[:-4]
+                        break
+        elif s in ("idades", "idade"):
+            if in_r2(w, len(s)):
+                w = w[:k]
+                altered = True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(w, len(pre)):
+                        w = w[: len(w) - len(pre)]
+                        break
+        elif s in ("ivas", "ivos", "iva", "ivo"):
+            if in_r2(w, len(s)):
+                w = w[:k]
+                altered = True
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+        elif s in ("iras", "ira"):
+            if in_rv(w, len(s)) and w[:k].endswith("e"):
+                w = w[:k] + "ir"
+                altered = True
+
+    # Step 2: verb suffixes (only if step 1 changed nothing) —
+    # longest suffix lying entirely inside RV
+    if not altered:
+        for s in _PT_STEP2:
+            if w.endswith(s) and in_rv(w, len(s)):
+                w = w[: len(w) - len(s)]
+                altered = True
+                break
+
+    # Step 3: if step 1 or 2 altered, delete i after c (in RV)
+    if altered:
+        if w.endswith("i") and in_rv(w, 1) and w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        # Step 4: residual suffix (longest of os a i o á í ó in RV)
+        for s in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(s) and in_rv(w, len(s)):
+                w = w[: len(w) - len(s)]
+                break
+
+    # Step 5 (always): residual e/é/ê in RV, then gu/ci contraction;
+    # else strip the cedilla
+    if w[-1:] in ("e", "é", "ê") and in_rv(w, 1):
+        w = w[:-1]
+        if (w.endswith("gu") or w.endswith("ci")) and in_rv(w, 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# -- Snowball Dutch --------------------------------------------------------
+# Clean-room implementation of the published Dutch stemming algorithm
+# (snowballstem.org, "The Dutch stemming algorithm").
+
+_NL_VOWELS = frozenset("aeiouyè")
+
+
+def _nl_mark(w: str) -> str:
+    """Prelude: strip umlauts/acutes, then upper-case initial y, y
+    after a vowel, and i between vowels (left-to-right on the evolving
+    string — a just-marked Y is a consonant for the next test)."""
+    for a, b in (("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"),
+                 ("ü", "u"), ("á", "a"), ("é", "e"), ("í", "i"),
+                 ("ó", "o"), ("ú", "u")):
+        w = w.replace(a, b)
+    chars = list(w)
+    n = len(chars)
+    for i, ch in enumerate(chars):
+        if ch == "y":
+            if i == 0 or chars[i - 1] in _NL_VOWELS:
+                chars[i] = "Y"
+        elif ch == "i":
+            if 0 < i < n - 1 and chars[i - 1] in _NL_VOWELS \
+                    and chars[i + 1] in _NL_VOWELS:
+                chars[i] = "I"
+    return "".join(chars)
+
+
+def _nl_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _NL_VOWELS:
+            i += 1
+        while i < n and w[i] in _NL_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    r2 = after(r1)
+    # spec: the region before R1 must contain at least 3 letters
+    return max(r1, min(3, n)), r2
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch stem of a lower-case word."""
+    w = _nl_mark(word.lower())
+    r1, r2 = _nl_r1r2(w)
+
+    def in_r1(wd: str, k: int) -> bool:
+        return len(wd) - k >= r1
+
+    def in_r2(wd: str, k: int) -> bool:
+        return len(wd) - k >= r2
+
+    # Step 1 (longest of heden / ene / en / se / s, condition tested
+    # once, no fallback)
+    for s in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(s):
+            continue
+        if s == "heden":
+            if in_r1(w, 5):
+                w = w[:-5] + "heid"
+        elif s in ("ene", "en"):
+            base = w[: len(w) - len(s)]
+            if in_r1(w, len(s)) and base[-1:] and \
+                    base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+                w = _nl_undouble(base)
+        else:  # se / s — valid s-ending: non-vowel other than j
+            base = w[: len(w) - len(s)]
+            if in_r1(w, len(s)) and base[-1:] and \
+                    base[-1] not in _NL_VOWELS and base[-1] != "j":
+                w = base
+        break
+
+    # Step 2: delete e in R1 after a non-vowel, undouble
+    e_removed = False
+    if w.endswith("e") and in_r1(w, 1) and w[-2:-1] \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # Step 3a: heid (R2, not after c), then an en as in step 1
+    if w.endswith("heid") and in_r2(w, 4) and w[-5:-4] != "c":
+        w = w[:-4]
+        if w.endswith("en"):
+            base = w[:-2]
+            if in_r1(w, 2) and base[-1:] and \
+                    base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+                w = _nl_undouble(base)
+
+    # Step 3b: d-suffixes (longest, condition tested once)
+    for s in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(s):
+            continue
+        if s in ("end", "ing"):
+            if in_r2(w, len(s)):
+                w = w[: len(w) - len(s)]
+                if w.endswith("ig") and in_r2(w, 2) and w[-3:-2] != "e":
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif s == "ig":
+            if in_r2(w, 2) and w[-3:-2] != "e":
+                w = w[:-2]
+        elif s == "lijk":
+            if in_r2(w, 4):
+                w = w[:-4]
+                # repeat step 2
+                if w.endswith("e") and in_r1(w, 1) and w[-2:-1] \
+                        and w[-2] not in _NL_VOWELS:
+                    w = _nl_undouble(w[:-1])
+        elif s == "baar":
+            if in_r2(w, 4):
+                w = w[:-4]
+        elif s == "bar":
+            if in_r2(w, 3) and e_removed:
+                w = w[:-3]
+        break
+
+    # Step 4: undouble vowel — C aa/ee/oo/uu D (D a non-vowel != I)
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# -- Snowball Russian ------------------------------------------------------
+# Clean-room implementation of the published Russian stemming
+# algorithm (snowballstem.org, "The Russian stemming algorithm").
+# All step-1/2/4 tests run inside the RV limit (group-1 endings must
+# follow а or я, the а/я also inside RV); step 3 additionally
+# requires R2. Among semantics: longest suffix fitting inside RV
+# wins; a failed group-1 precondition fails the whole among (no
+# fallback to a shorter suffix).
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+_RU_PERF_G1 = ("вшись", "вши", "в")
+_RU_PERF_G2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PART_G1 = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART_G2 = ("ивш", "ывш", "ующ")
+_RU_VERB_G1 = (
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_G2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ия", "ья",
+    "ию", "ью", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях",
+    "ие", "ье", "еи", "ии", "а", "ев", "ов", "е", "и", "й", "о", "у",
+    "ы", "ь", "ю", "я",
+)
+
+
+def _ru_regions(w: str) -> tuple[int, int]:
+    """→ (rv, r2). RV = after the first vowel; R2 standard."""
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _RU_VOWELS:
+            i += 1
+        while i < n and w[i] in _RU_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return rv, after(r1)
+
+
+def _ru_among(w: str, rv: int, g1, g2):
+    """Longest suffix (across both groups) fitting inside RV → the
+    suffix-stripped word, or None. Group-1 endings must follow а/я
+    (also inside RV); a failed group-1 test fails the whole among."""
+    best, best_g1 = None, False
+    for s in g1:
+        if w.endswith(s) and len(w) - len(s) >= rv and \
+                (best is None or len(s) > len(best)):
+            best, best_g1 = s, True
+    for s in g2:
+        if w.endswith(s) and len(w) - len(s) >= rv and \
+                (best is None or len(s) > len(best)):
+            best, best_g1 = s, False
+    if best is None:
+        return None
+    if best_g1:
+        k = len(w) - len(best)
+        if k - 1 < rv or w[k - 1] not in "ая":
+            return None
+    return w[: len(w) - len(best)]
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian stem of a lower-case Cyrillic word (ё is
+    normalised to е first, per the spec's assumption)."""
+    w = word.lower().replace("ё", "е")
+    rv, r2 = _ru_regions(w)
+
+    # Step 1
+    out = _ru_among(w, rv, _RU_PERF_G1, _RU_PERF_G2)
+    if out is not None:
+        w = out
+    else:
+        for s in ("ся", "сь"):
+            if w.endswith(s) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        # adjectival = adjective [+ optional preceding participle]
+        out = _ru_among(w, rv, (), _RU_ADJECTIVE)
+        if out is not None:
+            w = out
+            out = _ru_among(w, rv, _RU_PART_G1, _RU_PART_G2)
+            if out is not None:
+                w = out
+        else:
+            out = _ru_among(w, rv, _RU_VERB_G1, _RU_VERB_G2)
+            if out is not None:
+                w = out
+            else:
+                out = _ru_among(w, rv, (), _RU_NOUN)
+                if out is not None:
+                    w = out
+
+    # Step 2: trailing и (in RV)
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # Step 3: derivational ост/ость in R2
+    for s in ("ость", "ост"):
+        if w.endswith(s) and len(w) - len(s) >= r2:
+            w = w[: len(w) - len(s)]
+            break
+
+    # Step 4: superlative → undouble н; else undouble н; else drop ь
+    done = False
+    for s in ("ейше", "ейш"):
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            w = w[: len(w) - len(s)]
+            done = True
+            break
+    if done:
+        if w.endswith("нн") and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif w.endswith("нн") and len(w) - 2 >= rv:
+        w = w[:-1]
+    elif w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -1349,4 +1818,7 @@ STEMMERS = {
     "spanish": spanish_stem,  # Snowball Spanish
     "french": french_stem,  # Snowball French
     "italian": italian_stem,  # Snowball Italian
+    "portuguese": portuguese_stem,  # Snowball Portuguese
+    "dutch": dutch_stem,    # Snowball Dutch
+    "russian": russian_stem,  # Snowball Russian
 }

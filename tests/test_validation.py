@@ -14,7 +14,7 @@ from searchengine_ray.text.tokenizer import Tokenizer
 
 def test_unsupported_language_raises():
     with pytest.raises(ValueError, match="unsupported stemmer language"):
-        Tokenizer(language="portuguese")   # not implemented (yet)
+        Tokenizer(language="finnish")      # not implemented (yet)
     with pytest.raises(ValueError, match="unsupported stemmer language"):
         Tokenizer(language="klingon")
     Tokenizer(language="english")  # ok (Porter2)
@@ -82,7 +82,8 @@ def test_manifest_records_supported_languages(small_index):
     _, idx = small_index
     m = load_manifest(idx)
     assert m["tokenizer"]["supported_languages"] == \
-        ["english", "french", "german", "italian", "porter", "spanish"]
+        ["dutch", "english", "french", "german", "italian", "porter",
+         "portuguese", "russian", "spanish"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):
