@@ -177,34 +177,62 @@ def run_bench() -> dict:
     # (BASELINE.md), so the serving + pipeline legs time two identical
     # executions and keep the better — the same practice --scaling has
     # always used.
-    qps_best, n_out = None, 0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_out = search_dataset(
-            ray.data.from_items(qtbl), idx_dir, n=10,
-            concurrency=max(2, NUM_CPUS // 4), batch_size=64,
-            # head-term prewarm broadcast (one driver fetch + ray.put;
-            # actors start warm — identical results, tested). The warm
-            # fetch itself is INSIDE the timed window.
-            warm_queries=SEARCH_QUERIES,
-            # cross-batch result LRU: identical query → memoized result
-            # (sound: the index is immutable; identical output, tested)
-            result_cache_size=64,
-        ).count()
-        dt = time.perf_counter() - t0
-        qps_best = dt if qps_best is None else min(qps_best, dt)
-    detail["serving_queries_per_sec"] = round(len(qtbl) / qps_best, 1)
+    def batch_job(**kw) -> float:
+        """One-shot search_dataset run (pool spawn inside the timed
+        window) — best-of-2 against box noise."""
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = search_dataset(
+                ray.data.from_items(qtbl), idx_dir, n=10,
+                concurrency=max(2, NUM_CPUS // 4), batch_size=64, **kw
+            ).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
+
+    # cache-ON batch job: head-term prewarm broadcast + cross-batch
+    # result LRU (both identical-output, tested). Comparable to the
+    # round-3 headline serving number.
+    t_cache, n_out = batch_job(warm_queries=SEARCH_QUERIES,
+                               result_cache_size=64)
+    detail["serving_queries_per_sec"] = round(len(qtbl) / t_cache, 1)
     detail["serving_rows"] = n_out
+    # cache-OFF batch job: no prewarm, no result LRU — every query
+    # scores for real (ADVICE r3: report both so cross-round
+    # comparisons stay apples-to-apples; the workload repeats ~8
+    # distinct strings, which cache-on mostly memoizes)
+    t_nocache, _ = batch_job()
+    detail["serving_queries_per_sec_nocache"] = round(
+        len(qtbl) / t_nocache, 1)
+
+    # steady-state: a LIVE ServingPool (spawn + index load + prewarm
+    # untimed, result LRU off so repeats score for real) — the number a
+    # resident serving fleet sustains (VERDICT r3 item 6)
+    from searchengine_ray.query.serving import ServingPool
+
+    qpairs = [(r["query_id"], r["query"]) for r in qtbl]
+    with ServingPool(idx_dir, n=10, size=max(2, NUM_CPUS // 4),
+                     batch_size=64, warm_queries=SEARCH_QUERIES) as pool:
+        pool.search(qpairs)                     # untimed warm lap
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pool.search(qpairs)
+        dt = time.perf_counter() - t0
+    detail["serving_steady_qps"] = round(len(qpairs) * reps / dt, 1)
 
     # -- phase 3: pipelines over the sf tables (best-of-2 each) -----------
     import ray.data
 
-    def best_of(fn, runs: int = 2) -> float:
+    def best_of(fn, runs: int = 2, record: list | None = None) -> float:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
+            if record is not None:
+                record.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
@@ -225,10 +253,16 @@ def run_bench() -> dict:
             quality_stats_batch, batch_format="pyarrow").count()
     )
 
+    # ANN: the scoring pass is task-based since round 4 (no actor-pool
+    # spawn — the round-3 wobble); per-run times recorded so any
+    # remaining swing is visibly box noise, not a trend
     emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ann_runs: list = []
     detail["ann_sec"] = best_of(
-        lambda: cosine_topk(emb, query_ids=[0, 1, 2], k=5)
+        lambda: cosine_topk(emb, query_ids=[0, 1, 2], k=5),
+        runs=3, record=ann_runs,
     )
+    detail["ann_runs"] = ann_runs
 
     pipeline_sec = detail["minhash_sec"] + detail["quality_sec"] + detail["ann_sec"]
     total = build_sec + query_sec + pipeline_sec

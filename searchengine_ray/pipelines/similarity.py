@@ -62,8 +62,14 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class CosineTopKStage:
-    """Actor-pool stage: per-batch cosine top-k against the broadcast
-    query matrix (queries resolved once per actor in ``__init__``)."""
+    """Per-batch cosine top-k against the broadcast query matrix.
+
+    Usable two ways: as an actor-pool stage (queries resolved once per
+    actor in ``__init__``) or constructed inside a task-based
+    ``map_batches`` function — the ``ray.get`` of the broadcast is a
+    zero-copy plasma read, so per-task resolution costs microseconds
+    and avoids actor-pool spawn entirely (the round-3 ANN-leg wobble
+    was pool spawn; VERDICT r3 item 4)."""
 
     def __init__(self, queries_ref, k: int = 5, id_col: str = "vec_id"):
         import ray
@@ -117,12 +123,16 @@ def cosine_topk(embeddings_ds, query_ids: list[int], k: int = 5):
     qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
     ref = ray.put({"query_ids": qids, "matrix": qm})
 
+    # task-based (no actor pool): the stage is stateless apart from the
+    # tiny broadcast query matrix, which each task re-resolves from the
+    # object store zero-copy — no pool spawn on the critical path
+    def score(batch: pa.Table) -> pa.Table:
+        return CosineTopKStage(queries_ref=ref, k=k)(batch)
+
     partials = embeddings_ds.map_batches(
-        CosineTopKStage,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        score,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=autoscale_concurrency(),
     ).take_all()
 
     # fold tiny partials per query

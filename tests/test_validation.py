@@ -356,3 +356,29 @@ def test_spill_schema_guard_purges_on_flip(tmp_path):
     # flip → purged
     _sync_spill_schema(str(spill), doc32=False)
     assert not junk.exists()
+
+def test_serving_pool_identical_to_search_dataset(small_index):
+    """The persistent ServingPool (steady-state serving surface) must
+    return exactly what the per-call pool and the local Searcher
+    return — warm broadcast, result LRU, repeated submissions and all
+    (round-4, VERDICT r3 item 6)."""
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.query.serving import ServingPool
+
+    _, idx = small_index
+    queries = [(i, ["games", "gaming cafe", "player"][i % 3])
+               for i in range(18)]
+    s = Searcher(idx)
+    want = {q: s.search(q, 5).to_pylist()
+            for q in ("games", "gaming cafe", "player")}
+    with ServingPool(idx, n=5, size=2, batch_size=4,
+                     warm_queries=["games"],
+                     result_cache_size=8) as pool:
+        for _ in range(2):                  # steady state: re-submit
+            rows = pool.search(queries).to_pylist()
+            for qid, q in queries:
+                got = sorted((r["rank"], r["doc_id"], r["score"])
+                             for r in rows if r["query_id"] == qid)
+                expect = sorted((r["rank"], r["doc_id"], r["score"])
+                                for r in want[q])
+                assert got == expect, (qid, q)
