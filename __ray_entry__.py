@@ -686,6 +686,32 @@ def _q_chunk_documents(sf_dir: str):
     )
 
 
+RESAMPLE_ALPHA = 0.5
+PACK_CAPACITY, PACK_PARTS = 256, 8
+
+
+def _q_domain_resample(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import domain_resample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return domain_resample(ds, alpha=RESAMPLE_ALPHA, group_col="lang")
+
+
+def _q_sequence_pack(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import sequence_pack
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return sequence_pack(ds, capacity=PACK_CAPACITY, num_parts=PACK_PARTS)
+
+
 SESSION_GAP_US = 1_800_000_000
 
 
@@ -840,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_salted": _q_sessionize_salted,
         "events_asof_salted": _q_events_asof_salted,
         "chunk_documents": _q_chunk_documents,
+        "domain_resample": _q_domain_resample,
+        "sequence_pack": _q_sequence_pack,
         "lm_perplexity": _q_lm_perplexity,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
@@ -1078,6 +1106,12 @@ def oracle_sql() -> dict[str, str]:
     out["sessionize"] = oracles.sql_sessionize(SESSION_GAP_US)
     out["chunk_documents"] = oracles.sql_chunk_documents(
         pclass, CHUNK_TOKENS, CHUNK_STRIDE
+    )
+    out["domain_resample"] = oracles.sql_domain_resample(
+        RESAMPLE_ALPHA, "lang"
+    )
+    out["sequence_pack"] = oracles.sql_sequence_pack(
+        PACK_CAPACITY, PACK_PARTS
     )
     out["lm_perplexity"] = oracles.sql_bigram_lm(pclass, LM_ADD_K)
     out["search_tfidf"] = oracles.sql_search_tfidf(

@@ -100,13 +100,31 @@ def cmd_search(args) -> int:
             print(f"{row['rank']:3d}  {row['score']:.6f}  "
                   f"{row['doc_id']}  {row['url']}")
         return 0
-    for line in sys.stdin:  # interactive loop (reference searcher.py:74-84)
+    # interactive loop (reference searcher.py:74-84: prompt, 'q' quits,
+    # per-query latency reported like the reference's Efficiency stats)
+    import time as _time
+
+    interactive = sys.stdin.isatty()
+    while True:
+        if interactive:
+            try:
+                line = input("Search (exit interactive search with 'q'): ")
+            except EOFError:
+                break
+        else:
+            line = sys.stdin.readline()
+            if not line:
+                break
         q = line.strip()
-        if not q:
+        if not q or q.lower() == "q":
             break
-        for row in s.search(q, args.n).to_pylist():
+        t0 = _time.perf_counter()
+        res = s.search(q, args.n)
+        dt = _time.perf_counter() - t0
+        for row in res.to_pylist():
             print(f"{row['rank']:3d}  {row['score']:.6f}  "
                   f"{row['doc_id']}  {row['url']}")
+        print(f"# {res.num_rows} results in {dt * 1000:.2f} ms")
     return 0
 
 
@@ -237,6 +255,20 @@ def cmd_curate_op(args) -> int:
         ds = ray.data.read_parquet(
             args.documents, columns=["doc_id", args.host_column])
         out = host_cap_sample(ds, cap=args.cap, host_col=args.host_column)
+    elif args.op == "resample":
+        from searchengine_ray.pipelines.curate import domain_resample
+
+        ds = ray.data.read_parquet(
+            args.documents, columns=["doc_id", args.group_column])
+        out = domain_resample(ds, alpha=args.alpha,
+                              group_col=args.group_column)
+    elif args.op == "pack":
+        from searchengine_ray.pipelines.curate import sequence_pack
+
+        ds = ray.data.read_parquet(args.documents,
+                                   columns=["doc_id", "text"])
+        out = sequence_pack(ds, capacity=args.capacity,
+                            num_parts=args.num_parts)
     else:
         ds = ray.data.read_parquet(args.documents,
                                    columns=["doc_id", "text"])
@@ -333,7 +365,7 @@ def main(argv=None) -> int:
     pc_.add_argument("--op", required=True,
                      choices=["chunk", "decontam", "keywords", "pii",
                               "repetition", "hostcap", "sessionize",
-                              "lm"])
+                              "lm", "resample", "pack"])
     pc_.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
                           "sessionize)")
@@ -354,6 +386,16 @@ def main(argv=None) -> int:
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
+    pc_.add_argument("--alpha", type=float, default=0.5,
+                     help="resample: temperature (1=flatten to the "
+                          "smallest domain, 0=keep everything)")
+    pc_.add_argument("--group-column", default="source",
+                     help="resample: domain column")
+    pc_.add_argument("--capacity", type=int, default=512,
+                     help="pack: max pre-tokens per packed sequence")
+    pc_.add_argument("--num-parts", type=int, default=64,
+                     help="pack: hash partitions (parallelism knob; "
+                          "packs never cross partitions)")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")

@@ -258,3 +258,138 @@ def chunk_documents_batch(batch: pa.Table, chunk_tokens: int = 64,
                              pa.int64()),
         "chunk_fp": pa.array(out_fp, pa.string()),
     })
+
+
+# -- domain temperature resampling -----------------------------------------
+
+def domain_resample(docs_ds, alpha: float = 0.5,
+                    group_col: str = "source", fold_mode: str = "auto"):
+    """CCNet/Pile-style domain rebalancing: keep each doc of domain *s*
+    with probability q_s = (n_min / n_s) ** alpha, where n_s is the
+    domain's doc count and n_min the smallest domain's — head domains
+    are downsampled toward the temperature ``alpha`` (alpha=1 →
+    proportional flattening to the smallest domain, alpha=0 → keep
+    everything), the classic corpus-rebalancing step before LM
+    training.
+
+    Two scans, no shuffle: (1) per-batch domain-count partials through
+    the bounded fold of ``pipelines/fold.py`` (domain cardinality is
+    the classic small side; the driver never holds unpruned partials at
+    scale), (2) a deterministic FNV hash gate per doc — reproducible
+    under any partitioning/cluster size and exactly expressible in the
+    DuckDB oracle. Float discipline: q_s comes from glibc ``pow`` on
+    BOTH sides (math.pow here, pow() in DuckDB — correctly rounded),
+    and the gate compares double(fnv) < q_s * 2.0**64 with identical
+    IEEE ops, so there is no quantization knife edge.
+
+    → Dataset (doc_id, ``group_col``)."""
+    import math
+
+    import ray
+
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+    from searchengine_ray.pipelines.fold import fold_count_partials
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b[group_col])
+        if len(vc) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({group_col: vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    folded = fold_count_partials(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        key_cols=[group_col], sum_col="c", mode=fold_mode,
+        empty_result=pa.table({group_col: pa.array([], pa.string()),
+                               "c_sum": pa.array([], pa.int64())}),
+    )
+    counts = folded["c_sum"].to_numpy(zero_copy_only=False)
+    if len(counts) == 0:    # empty corpus — keep a typed empty result
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+        }))
+    n_min = int(counts.min())
+    qv = np.array([math.pow(n_min / int(c), alpha) for c in counts],
+                  np.float64)
+    ref = ray.put((folded[group_col].combine_chunks(), qv))
+
+    def gate(b: pa.Table) -> pa.Table:
+        src_vals, q = ray.get(ref)  # zero-copy plasma read per task
+        idx = pc.index_in(b[group_col], value_set=src_vals) \
+            .fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        thresh = np.where(idx >= 0, q[np.maximum(idx, 0)], 0.0) * 2.0 ** 64
+        keys = pc.binary_join_element_wise(
+            pa.array(["doc:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        hv = _hash_tokens(keys).astype(np.float64)
+        mask = pa.array(hv < thresh)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(mask),
+            group_col: b[group_col].filter(mask),
+        })
+
+    return docs_ds.map_batches(gate, batch_format="pyarrow")
+
+
+# -- greedy sequence packing -----------------------------------------------
+
+def sequence_pack(docs_ds, capacity: int = 512, num_parts: int = 64):
+    """Greedy fixed-capacity sequence packing (training-batch
+    construction): documents are assigned to hash partitions
+    (``doc_id % num_parts``); within each partition, docs in doc_id
+    order are packed first-fit into sequences of at most ``capacity``
+    pre-tokens (the BPE-ish pre-token count of ``token_counts``) — a
+    new pack starts when the next doc would overflow; an oversize doc
+    forms a singleton pack. Deterministic for a fixed ``num_parts``
+    (the parallelism knob: packs never cross partitions, so the wide
+    step is ONE keyed shuffle and per-partition work is independent).
+
+    Per-group packing is O(#packs · log n) — a searchsorted per pack
+    over the cumulative-length array, not a per-doc Python loop.
+
+    → Dataset (doc_id, part, pack_id, pack_seq, n_pretokens); the
+    global pack key is (part, pack_id)."""
+    from searchengine_ray.pipelines.analysis import _TOKEN_RE_BPE
+
+    def lens(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        counts = pc.count_substring_regex(b["text"], pattern=_TOKEN_RE_BPE)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "part": pa.array(doc % num_parts, pa.int64()),
+            "n_pretokens": counts.cast(pa.int64()),
+        })
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("doc_id", "ascending")])
+        ln = t["n_pretokens"].to_numpy(zero_copy_only=False)
+        n = len(ln)
+        cum = np.cumsum(ln)
+        pack_of = np.empty(n, np.int64)
+        seq = np.empty(n, np.int64)
+        s, pack = 0, 0
+        while s < n:
+            base = cum[s - 1] if s else 0
+            e = int(np.searchsorted(cum, base + capacity, side="right"))
+            if e == s:          # single doc exceeds capacity → singleton
+                e = s + 1
+            pack_of[s:e] = pack
+            seq[s:e] = np.arange(1, e - s + 1)
+            pack += 1
+            s = e
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "part": t["part"],
+            "pack_id": pa.array(pack_of, pa.int64()),
+            "pack_seq": pa.array(seq, pa.int64()),
+            "n_pretokens": t["n_pretokens"],
+        })
+
+    return docs_ds.map_batches(
+        lens, batch_format="pyarrow"
+    ).groupby("part").map_groups(pack_group, batch_format="pyarrow")

@@ -55,8 +55,8 @@ def _bucket_of(keys: pa.Array, num_buckets: int) -> np.ndarray:
 
 def _split_blocks(tbl: pa.Table, key_col: str, num_buckets: int):
     """One split wave input block → ``num_buckets`` bucket tables."""
-    if tbl.num_rows == 0:
-        return tuple(tbl for _ in range(num_buckets))
+    if tbl.num_rows == 0 or key_col not in tbl.schema.names:
+        return tuple(tbl.slice(0, 0) for _ in range(num_buckets))
     b = _bucket_of(tbl[key_col], num_buckets)
     order = np.argsort(b, kind="stable")
     sorted_tbl = tbl.take(pa.array(order, pa.int64()))
@@ -67,15 +67,27 @@ def _split_blocks(tbl: pa.Table, key_col: str, num_buckets: int):
     )
 
 
-def _reduce_bucket(key_cols, sum_col, prune, *tables) -> pa.Table:
-    live = [t for t in tables if t is not None and t.num_rows]
+def _has_cols(t: pa.Table, cols) -> bool:
+    return set(cols) <= set(t.schema.names)
+
+
+def _reduce_bucket(key_cols, sum_col, prune, *tables):
+    need = list(key_cols) + [sum_col]
+    live = [t for t in tables
+            if t is not None and t.num_rows and _has_cols(t, need)]
     if not live:
-        schema = tables[0].schema
-        out = pa.table({
+        # Ray's fused maps skip empty input blocks, so a fully-empty
+        # partition yields schemaless () tables here — there is no
+        # typed schema to build an empty result from; the caller
+        # substitutes ``empty_result``.
+        typed = [t for t in tables if t is not None and _has_cols(t, need)]
+        if not typed:
+            return None
+        schema = typed[0].schema
+        return pa.table({
             **{k: pa.array([], schema.field(k).type) for k in key_cols},
             f"{sum_col}_sum": pa.array([], pa.int64()),
         })
-        return out
     folded = pa.concat_tables(live).group_by(key_cols).aggregate(
         [(sum_col, "sum")]
     )
@@ -92,6 +104,7 @@ def fold_count_partials(
     mode: str = "auto",
     driver_row_limit: int = DRIVER_ROW_LIMIT,
     num_buckets: int | None = None,
+    empty_result: pa.Table | None = None,
 ) -> pa.Table:
     """Fold a Dataset of partial-count tables into one exact global
     count table (columns ``key_cols + [sum_col + '_sum']``).
@@ -101,6 +114,12 @@ def fold_count_partials(
     each key's complete sum in one bucket), once at the end on the
     driver path. ``bucket_col`` (default: first key col) must be a
     string column; it is the hash-exchange key.
+
+    ``empty_result`` (optional, a typed empty table) is returned when
+    the partials contain no typed blocks at all — Ray's fused maps
+    skip empty input blocks, so an empty corpus yields schemaless ()
+    blocks whose types cannot be recovered here; without it, that
+    case raises.
     """
     import ray
 
@@ -123,7 +142,15 @@ def fold_count_partials(
     if use_driver:
         tables = ray.get(refs)
         live = [t for t in tables if t.num_rows] or tables[:1]
-        return _reduce_bucket(key_cols, sum_col, prune, *live)
+        out = _reduce_bucket(key_cols, sum_col, prune, *live)
+        if out is None:
+            if empty_result is not None:
+                return empty_result
+            raise ValueError(
+                "fold_count_partials: no typed partial blocks (empty "
+                "input corpus?); pass empty_result= to handle this"
+            )
+        return out
 
     n_buckets = num_buckets or max(
         4, int(ray.cluster_resources().get("CPU", 4))
@@ -144,4 +171,12 @@ def fold_count_partials(
         reduce.remote(key_cols, sum_col, prune, *columns[i])
         for i in range(n_buckets)
     ])
-    return pa.concat_tables([t for t in pruned if t is not None])
+    live = [t for t in pruned if t is not None]
+    if not live:
+        if empty_result is not None:
+            return empty_result
+        raise ValueError(
+            "fold_count_partials: no typed partial blocks (empty "
+            "input corpus?); pass empty_result= to handle this"
+        )
+    return pa.concat_tables(live)

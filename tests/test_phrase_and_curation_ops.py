@@ -322,6 +322,8 @@ def test_cli_curate_ops(ray_session, tmp_path, capsys):
         ("keywords", ["--k", "2"]),
         ("pii", []),
         ("repetition", []),
+        ("resample", ["--group-column", "source", "--alpha", "0.5"]),
+        ("pack", ["--capacity", "5", "--num-parts", "2"]),
     ):
         out_dir = str(tmp_path / f"out_{op}")
         rc = main(["curate", "--op", op, "--documents", src,
@@ -469,3 +471,105 @@ def test_zero_candidate_pairs_keep_schema(ray_session):
     assert eds.schema().names == ["doc_a", "doc_b", "sim_q2"]
     assert eds.take_all() == []
     assert len(eds.to_pandas()) == 0
+
+
+# -- round-4: domain temperature resampling --------------------------------
+
+def test_domain_resample(ray_session):
+    """Invariants: the smallest domain survives (q=1 → ~every hash
+    passes), the head domain is downsampled, output ⊆ input, the gate
+    is deterministic across re-runs and partitionings, and alpha=0
+    keeps everything."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import domain_resample
+
+    n_a, n_b = 400, 25
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n_a + n_b)), pa.int64()),
+        "source": pa.array(["big"] * n_a + ["small"] * n_b, pa.string()),
+    })
+
+    out = domain_resample(ray.data.from_arrow(tbl), alpha=0.5).to_pandas()
+    by = out.groupby("source")["doc_id"].apply(sorted).to_dict()
+    assert by["small"] == list(range(n_a, n_a + n_b))   # q=1: all kept
+    # q_big = sqrt(25/400) = 0.25; FNV gate keeps ~100 of 400
+    assert 50 < len(by["big"]) < 150
+    assert set(by["big"]) <= set(range(n_a))
+
+    # deterministic under a different partitioning
+    out2 = domain_resample(
+        ray.data.from_arrow(tbl).repartition(7), alpha=0.5
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+    # alpha=0 → q=1 everywhere → identity
+    all_kept = domain_resample(ray.data.from_arrow(tbl), alpha=0.0)
+    assert all_kept.count() == n_a + n_b
+
+
+def test_domain_resample_empty(ray_session):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import domain_resample
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string())})
+    out = domain_resample(ray.data.from_arrow(empty))
+    assert out.count() == 0
+    # (to_pandas() on a 0-row Dataset drops columns — a Ray quirk —
+    # so assert the typed schema on the Dataset itself)
+    assert sorted(out.schema().names) == ["doc_id", "source"]
+
+
+# -- round-4: greedy sequence packing --------------------------------------
+
+def test_sequence_pack(ray_session):
+    """Invariants: every doc packed exactly once; per-pack pre-token
+    sum <= capacity unless the pack is an oversize singleton; pack_seq
+    is 1..len in doc_id order; pack ids are dense from 0 per part;
+    result is independent of input partitioning."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import sequence_pack
+
+    texts = {
+        0: "a b c",                       # 3 pretokens
+        1: "d e",                         # 2
+        2: "x " * 10,                     # 10 > capacity → singleton
+        3: "f g h i",                     # 4
+        4: "j",                           # 1
+        5: "k l m n o p",                 # 6
+        6: "q r",                         # 2
+        7: "s t u",                       # 3
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    })
+    cap = 6
+    out = sequence_pack(ray.data.from_arrow(tbl), capacity=cap,
+                        num_parts=2).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(texts)
+    for (part, pack), g in out.groupby(["part", "pack_id"]):
+        g = g.sort_values("doc_id")
+        assert list(g["pack_seq"]) == list(range(1, len(g) + 1))
+        assert g["n_pretokens"].sum() <= cap or len(g) == 1
+        assert (g["doc_id"] % 2 == part).all()
+    for part, g in out.groupby("part"):
+        assert sorted(g["pack_id"].unique()) == \
+            list(range(g["pack_id"].max() + 1))
+        # greedy: doc order within a part maps monotonically to packs
+        g = g.sort_values("doc_id")
+        assert (g["pack_id"].diff().fillna(0) >= 0).all()
+    # doc 2 (10 pretokens > cap) packs alone
+    row2 = out[out["doc_id"] == 2].iloc[0]
+    mates = out[(out["part"] == row2["part"])
+                & (out["pack_id"] == row2["pack_id"])]
+    assert len(mates) == 1
+
+    out2 = sequence_pack(ray.data.from_arrow(tbl).repartition(5),
+                         capacity=cap, num_parts=2).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])

@@ -382,3 +382,19 @@ def test_serving_pool_identical_to_search_dataset(small_index):
                 expect = sorted((r["rank"], r["doc_id"], r["score"])
                                 for r in want[q])
                 assert got == expect, (qid, q)
+
+
+def test_cli_interactive_search(small_index, monkeypatch, capsys):
+    """The interactive loop (reference searcher.py:74-84): queries from
+    stdin, 'q' quits, per-query latency line printed."""
+    import io
+
+    from searchengine_ray.cli import main
+
+    _, idx = small_index
+    monkeypatch.setattr("sys.stdin", io.StringIO("games\nq\n"))
+    rc = main(["search", "--search-index", idx, "--n", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "results in" in out          # latency line
+    assert "https://" in out            # at least one hit printed
