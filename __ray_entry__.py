@@ -449,6 +449,28 @@ def _q_search_bm25_russian(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg(language="russian")))
 
 
+def _q_search_bm25_swedish(sf_dir: str):
+    """BM25 over a Swedish-stemmed index (Snowball Swedish, round-4):
+    the same query suite, every term stemmed by
+    text/stemmer.swedish_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="swedish")))
+
+
+def _q_search_bm25_danish(sf_dir: str):
+    """BM25 over a Danish-stemmed index (Snowball Danish, round-4):
+    the same query suite, every term stemmed by
+    text/stemmer.danish_stem on both the build and query sides."""
+    return _search_suite(_index_for(sf_dir, _full_cfg(language="danish")))
+
+
+def _q_search_bm25_norwegian(sf_dir: str):
+    """BM25 over a Norwegian-stemmed index (Snowball Norwegian,
+    round-4): the same query suite, every term stemmed by
+    text/stemmer.norwegian_stem on both the build and query sides."""
+    return _search_suite(
+        _index_for(sf_dir, _full_cfg(language="norwegian")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -856,6 +878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_portuguese": _q_search_bm25_portuguese,
         "search_bm25_dutch": _q_search_bm25_dutch,
         "search_bm25_russian": _q_search_bm25_russian,
+        "search_bm25_swedish": _q_search_bm25_swedish,
+        "search_bm25_danish": _q_search_bm25_danish,
+        "search_bm25_norwegian": _q_search_bm25_norwegian,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -1086,6 +1111,18 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_russian"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="russian"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_swedish"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="swedish"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_danish"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="danish"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_norwegian"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="norwegian"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

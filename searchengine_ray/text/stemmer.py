@@ -13,8 +13,9 @@ the stem function is pure; callers memoize results per worker process
 (reference keeps an unbounded ``transforms`` dict — ST1 in SURVEY.md §2.3).
 
 Implemented languages: 'english' (Porter2), 'porter' (the original 1980
-algorithm), 'german' and 'spanish' (each clean-room from its published
-snowballstem.org spec). The reference's baseline config and all its
+algorithm), german, spanish, french, italian, portuguese, dutch,
+russian, swedish, danish and norwegian (each clean-room from its
+published snowballstem.org spec). The reference's baseline config and all its
 published numbers use english (reference ``README.md:200-208``).
 """
 
@@ -1811,6 +1812,201 @@ def russian_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Snowball Scandinavian stemmers (Swedish, Danish, Norwegian), clean-room
+# from the published algorithms (snowballstem.org, "The Swedish/Danish/
+# Norwegian stemming algorithm") — public knowledge (reference
+# tokenizer.py:24-33 accepts any Snowball language name).
+#
+# Shared semantics captured from the Snowball program structure:
+# - R1 is the region after the first non-vowel following a vowel,
+#   adjusted so at least 3 letters precede it.
+# - Steps 1/2/3 wrap their suffix search in ``setlimit tomark p1``, so a
+#   suffix only matches if it lies ENTIRELY within R1 — and, unlike the
+#   German/Spanish step 1, a SHORTER suffix can match when a longer one
+#   starts before R1 (the among runs inside the limited region).
+# - The valid-s-ending test happens after the limit is restored, so the
+#   preceding letter may sit outside R1.
+
+def _scand_r1(word: str, vowels: frozenset) -> int:
+    n = len(word)
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    r1 = min(n, i + 1) if i < n else n
+    return max(r1, 3)
+
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_ENDINGS = frozenset("bcdfghjklmnoprtvy")
+# step 1(a), length-sorted: longest suffix lying within R1 wins
+_SV_STEP1 = (
+    "heterna",
+    "hetens",
+    "anden", "heten", "heter", "arnas", "ernas", "ornas", "andes",
+    "arens", "andet",
+    "arna", "erna", "orna", "ande", "arne", "aste", "aren", "ades",
+    "erns",
+    "ade", "are", "ern", "ens", "het", "ast",
+    "ad", "en", "ar", "er", "or", "as", "es", "at",
+    "a", "e",
+)
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish stem of a lower-case word."""
+    w = word.lower()
+    r1 = _scand_r1(w, _SV_VOWELS)
+
+    def within(sfx: str) -> bool:
+        return w.endswith(sfx) and len(w) - len(sfx) >= r1
+
+    # Step 1 — longest suffix within R1; 's' needs a valid s-ending
+    for sfx in _SV_STEP1:
+        if within(sfx):
+            w = w[: -len(sfx)]
+            break
+    else:
+        if within("s") and len(w) >= 2 and w[-2] in _SV_S_ENDINGS:
+            w = w[:-1]
+
+    # Step 2 — consonant pair within R1 → drop the last letter
+    for pair in _SV_PAIRS:
+        if within(pair):
+            w = w[:-1]
+            break
+
+    # Step 3 — within R1: lig/ig/els delete; löst→lös; fullt→full
+    if within("fullt") or within("löst"):
+        w = w[:-1]
+    elif within("lig") or within("els"):
+        w = w[:-3]
+    elif within("ig"):
+        w = w[:-2]
+    return w
+
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_ENDINGS = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = (
+    "erendes",
+    "erende", "hedens",
+    "ethed", "erede", "heden", "heder", "endes", "ernes", "erens",
+    "erets",
+    "ered", "ende", "erne", "eren", "erer", "heds", "enes", "eres",
+    "eret",
+    "hed", "ene", "ere", "ens", "ers", "ets",
+    "en", "er", "es", "et",
+    "e",
+)
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish stem of a lower-case word."""
+    w = word.lower()
+    r1 = _scand_r1(w, _DA_VOWELS)
+
+    def within(sfx: str) -> bool:
+        return w.endswith(sfx) and len(w) - len(sfx) >= r1
+
+    def consonant_pair() -> bool:
+        return any(within(p) for p in _DA_PAIRS)
+
+    # Step 1
+    for sfx in _DA_STEP1:
+        if within(sfx):
+            w = w[: -len(sfx)]
+            break
+    else:
+        if within("s") and len(w) >= 2 and w[-2] in _DA_S_ENDINGS:
+            w = w[:-1]
+
+    # Step 2 — consonant pair within R1 → drop the last letter
+    if consonant_pair():
+        w = w[:-1]
+
+    # Step 3 — igst drops st unconditionally; then within R1:
+    # løst→løs; ig/lig/elig/els delete AND repeat step 2
+    if w.endswith("igst"):
+        w = w[:-2]
+    if within("løst"):
+        w = w[:-1]
+    else:
+        for sfx in ("elig", "lig", "els", "ig"):
+            if within(sfx):
+                w = w[: -len(sfx)]
+                if consonant_pair():
+                    w = w[:-1]
+                break
+
+    # Step 4 — undouble: final double consonant with its last letter
+    # in R1 → drop one
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = frozenset("aeiouyæåø")
+_NO_S_ENDINGS = frozenset("bcdfghjlmnoprtvyz")   # plus k-not-after-vowel
+_NO_STEP1 = (
+    "hetenes",
+    "hetene", "hetens",
+    "heten", "heter", "endes",
+    "ande", "ende", "edes", "enes", "erte",
+    "ede", "ane", "ene", "ens", "ers", "ets", "het", "ast", "ert",
+    "en", "ar", "er", "as", "es", "et",
+    "a", "e",
+)
+_NO_STEP3 = (
+    "hetslov",
+    "eleg", "elov", "slov", "elig",
+    "leg", "eig", "lig", "els", "lov",
+    "ig",
+)
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian (Bokmål) stem of a lower-case word."""
+    w = word.lower()
+    r1 = _scand_r1(w, _NO_VOWELS)
+
+    def within(sfx: str) -> bool:
+        return w.endswith(sfx) and len(w) - len(sfx) >= r1
+
+    # Step 1 — longest within R1; erte/ert → 'er'; 's' needs a valid
+    # s-ending (or k not preceded by a vowel)
+    for sfx in _NO_STEP1:
+        if within(sfx):
+            if sfx in ("erte", "ert"):
+                w = w[: -len(sfx)] + "er"
+            else:
+                w = w[: -len(sfx)]
+            break
+    else:
+        if within("s") and len(w) >= 2 and (
+            w[-2] in _NO_S_ENDINGS
+            or (w[-2] == "k"
+                and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+        ):
+            w = w[:-1]
+
+    # Step 2 — dt/vt within R1 → drop the last letter
+    if within("dt") or within("vt"):
+        w = w[:-1]
+
+    # Step 3 — longest within R1 → delete
+    for sfx in _NO_STEP3:
+        if within(sfx):
+            w = w[: -len(sfx)]
+            break
+    return w
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -1821,4 +2017,7 @@ STEMMERS = {
     "portuguese": portuguese_stem,  # Snowball Portuguese
     "dutch": dutch_stem,    # Snowball Dutch
     "russian": russian_stem,  # Snowball Russian
+    "swedish": swedish_stem,  # Snowball Swedish
+    "danish": danish_stem,  # Snowball Danish
+    "norwegian": norwegian_stem,  # Snowball Norwegian
 }
