@@ -710,6 +710,18 @@ def _q_chunk_documents(sf_dir: str):
 
 RESAMPLE_ALPHA = 0.5
 PACK_CAPACITY, PACK_PARTS = 256, 8
+SPAN_TOKENS = 3
+
+
+def _q_span_dedup(sf_dir: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import span_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return span_dedup(ds, span_tokens=SPAN_TOKENS)
 
 
 def _q_domain_resample(sf_dir: str):
@@ -893,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "domain_resample": _q_domain_resample,
         "sequence_pack": _q_sequence_pack,
+        "span_dedup": _q_span_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
@@ -1150,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
     out["sequence_pack"] = oracles.sql_sequence_pack(
         PACK_CAPACITY, PACK_PARTS
     )
+    out["span_dedup"] = oracles.sql_span_dedup(SPAN_TOKENS)
     out["lm_perplexity"] = oracles.sql_bigram_lm(pclass, LM_ADD_K)
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK

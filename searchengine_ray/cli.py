@@ -269,6 +269,12 @@ def cmd_curate_op(args) -> int:
                                    columns=["doc_id", "text"])
         out = sequence_pack(ds, capacity=args.capacity,
                             num_parts=args.num_parts)
+    elif args.op == "spandedup":
+        from searchengine_ray.pipelines.curate import span_dedup
+
+        ds = ray.data.read_parquet(args.documents,
+                                   columns=["doc_id", "text"])
+        out = span_dedup(ds, span_tokens=args.span_tokens)
     else:
         ds = ray.data.read_parquet(args.documents,
                                    columns=["doc_id", "text"])
@@ -365,7 +371,7 @@ def main(argv=None) -> int:
     pc_.add_argument("--op", required=True,
                      choices=["chunk", "decontam", "keywords", "pii",
                               "repetition", "hostcap", "sessionize",
-                              "lm", "resample", "pack"])
+                              "lm", "resample", "pack", "spandedup"])
     pc_.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
                           "sessionize)")
@@ -396,6 +402,8 @@ def main(argv=None) -> int:
     pc_.add_argument("--num-parts", type=int, default=64,
                      help="pack: hash partitions (parallelism knob; "
                           "packs never cross partitions)")
+    pc_.add_argument("--span-tokens", type=int, default=4,
+                     help="spandedup: tile size in whitespace tokens")
     args = ap.parse_args(argv)
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")

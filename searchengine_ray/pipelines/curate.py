@@ -393,3 +393,108 @@ def sequence_pack(docs_ds, capacity: int = 512, num_parts: int = 64):
     return docs_ds.map_batches(
         lens, batch_format="pyarrow"
     ).groupby("part").map_groups(pack_group, batch_format="pyarrow")
+
+
+# -- exact span (tile) dedup ------------------------------------------------
+
+def _span_explode_batch(batch: pa.Table, span_tokens: int) -> pa.Table:
+    """(doc_id, span_no, span): non-overlapping ``span_tokens``-token
+    tiles of the whitespace token stream. Vectorized: one list_slice +
+    binary_join per tile INDEX (a short loop over the batch's max tile
+    count), never per document."""
+    lists = pc.utf8_split_whitespace(batch["text"])
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.greater(pc.utf8_length(flat), 0)   # drop empty tokens
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+        parents = parents.combine_chunks()
+        keep = keep.combine_chunks()
+    flat = flat.filter(keep)
+    par = np.asarray(parents.filter(keep), dtype=np.int64)
+    counts = np.bincount(par, minlength=batch.num_rows)
+    offsets = np.zeros(batch.num_rows + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    doc_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc, out_no, out_span = [], [], []
+    max_tiles = int(np.ceil(counts.max() / span_tokens)) \
+        if len(counts) and counts.max() else 0
+    for c in range(max_tiles):
+        start = c * span_tokens
+        live = counts > start
+        if not live.any():
+            break
+        joined = pc.binary_join(
+            pc.list_slice(lists, start, start + span_tokens), " ")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        idx = np.flatnonzero(live)
+        out_doc.append(doc_np[idx])
+        out_no.append(np.full(idx.size, c, np.int64))
+        out_span.append(joined.take(pa.array(idx, pa.int64())))
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "span_no": pa.array([], pa.int64()),
+                         "span": pa.array([], pa.string())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+        "span_no": pa.array(np.concatenate(out_no), pa.int64()),
+        "span": pa.concat_arrays(out_span),
+    })
+
+
+def span_dedup(docs_ds, span_tokens: int = 4):
+    """C4/CCNet-style exact span dedup with document reconstruction:
+    keep the globally FIRST occurrence (lowest (doc_id, span_no)) of
+    every ``span_tokens``-token tile, drop every other occurrence, and
+    reassemble each document from its kept tiles (a document whose
+    every tile loses disappears; assumes non-negative doc ids).
+
+    TWO keyed shuffles — the minimum for a global dedup that must
+    reconstruct documents:
+
+    1. ``groupby(span)`` runs as a NATIVE Min aggregate over a
+       zero-padded ``(doc_id, span_no)`` sort key (lexicographic min ==
+       numeric min), so Ray pre-combines per block before the exchange
+       and no per-group Python UDF ever runs — a boilerplate span
+       repeated millions of times at 100 TB ships one row per block,
+       not one per occurrence. The winner's coordinates are then
+       PARSED BACK from the key (kept set == winner set; no join
+       against the exploded rows is needed).
+    2. ``groupby(doc_id)`` reassembles kept tiles in span order; the
+       per-group join is the output payload itself.
+
+    → Dataset (doc_id, text, n_spans_kept)."""
+    from ray.data.aggregate import Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = _span_explode_batch(b, span_tokens)
+        wkey = pc.binary_join_element_wise(
+            pc.utf8_lpad(t["doc_id"].cast(pa.string()), 19, "0"),
+            pc.utf8_lpad(t["span_no"].cast(pa.string()), 10, "0"),
+            ":")
+        return pa.table({"span": t["span"], "wkey": wkey})
+
+    winners = docs_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("span").aggregate(Min("wkey"))
+
+    def parse_winners(b: pa.Table) -> pa.Table:
+        w = b["min(wkey)"]
+        return pa.table({
+            "doc_id": pc.utf8_slice_codeunits(w, 0, 19).cast(pa.int64()),
+            "span_no": pc.utf8_slice_codeunits(w, 20, 30).cast(pa.int64()),
+            "span": b["span"],
+        })
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("span_no", "ascending")])
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "text": pa.array([" ".join(g["span"].to_pylist())],
+                             pa.string()),
+            "n_spans_kept": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return winners.map_batches(parse_winners, batch_format="pyarrow") \
+        .groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")

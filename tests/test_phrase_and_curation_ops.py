@@ -324,6 +324,7 @@ def test_cli_curate_ops(ray_session, tmp_path, capsys):
         ("repetition", []),
         ("resample", ["--group-column", "source", "--alpha", "0.5"]),
         ("pack", ["--capacity", "5", "--num-parts", "2"]),
+        ("spandedup", ["--span-tokens", "2"]),
     ):
         out_dir = str(tmp_path / f"out_{op}")
         rc = main(["curate", "--op", op, "--documents", src,
@@ -573,3 +574,55 @@ def test_sequence_pack(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+# -- round-4: exact span (tile) dedup --------------------------------------
+
+def test_span_dedup(ray_session):
+    """Hand corpus: the first (doc_id, span_no) occurrence of each tile
+    survives, later occurrences are removed, docs reassemble from kept
+    tiles in order, and a doc whose every tile loses disappears."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import span_dedup
+
+    rows = [
+        (0, "a b c d e f"),           # tiles: 'a b', 'c d', 'e f'
+        (1, "c d x y a b"),           # 'c d' and 'a b' lose to doc 0
+        (2, "a b c d"),               # both tiles lose → doc vanishes
+        (3, "p q"),                   # unique tile survives
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = span_dedup(ray.data.from_arrow(tbl), span_tokens=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {0: "a b c d e f", 1: "x y", 3: "p q"}
+    kept = dict(zip(out["doc_id"], out["n_spans_kept"]))
+    assert kept == {0: 3, 1: 1, 3: 1}
+
+    # partitioning independence
+    out2 = span_dedup(ray.data.from_arrow(tbl).repartition(3),
+                      span_tokens=2).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+
+
+def test_span_dedup_partial_tail_and_whitespace(ray_session):
+    """A trailing partial tile dedups like any other; repeated
+    whitespace collapses identically on both sides (DuckDB oracle uses
+    the same non-empty-token rule)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import span_dedup
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b  c", "x  y c"], pa.string()),
+    })
+    # K=2: doc0 tiles 'a b', 'c'; doc1 tiles 'x y', 'c' (loses)
+    out = span_dedup(ray.data.from_arrow(tbl), span_tokens=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {0: "a b c", 1: "x y"}

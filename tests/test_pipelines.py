@@ -29,7 +29,7 @@ def _canon(df):
 @pytest.mark.parametrize("name", [
     "doc_lengths", "postings_tf", "term_df", "top_terms", "bm25_topk",
     "exact_dedup", "quality_stats", "ann_cosine_topk",
-    "domain_resample", "sequence_pack",
+    "domain_resample", "sequence_pack", "span_dedup",
 ])
 def test_query_matches_oracle(ray_session, ddb, name):
     import sys
