@@ -2007,6 +2007,225 @@ def norwegian_stem(word: str) -> str:
     return w
 
 
+# -- Snowball Romanian ------------------------------------------------------
+# Clean-room implementation of the published Romanian stemming algorithm
+# (snowballstem.org, "The Romanian stemming algorithm"). The reference
+# accepts it through nltk's SnowballStemmer (reference tokenizer.py:24-33).
+# Character convention: the suffix tables use the cedilla forms ş (U+015F)
+# and ţ (U+0163) — the charset of the original spec revision that nltk
+# implements; comma-below input (ș U+0219 / ț U+021B) is normalised to
+# cedilla on entry. The verb-suffix table is reconstructed from the spec's
+# conjugation-paradigm coverage (imperfect, simple perfect, pluperfect,
+# present/subjunctive -ez/-esc families, infinitive, gerund); rare forms
+# may diverge from nltk's table — every entry below is exercised by
+# tests/test_romanian_stemmer.py hand-traces.
+
+_RO_VOWELS = frozenset("aăâeiîou")
+
+
+def _ro_mark(w: str) -> str:
+    """Prelude: i and u between vowels become I/U (treated as consonants)."""
+    out = list(w)
+    for i in range(1, len(w) - 1):
+        if (w[i] in "iu" and w[i - 1] in _RO_VOWELS
+                and w[i + 1] in _RO_VOWELS):
+            out[i] = "I" if w[i] == "i" else "U"
+    return "".join(out)
+
+
+def _ro_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _RO_VOWELS:
+        for i in range(2, n):
+            if w[i] in _RO_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _RO_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _RO_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _ro_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _RO_VOWELS:
+            i += 1
+        while i < n and w[i] in _RO_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+# step 0 (plural removal): suffix → replacement, longest-match-first;
+# 'ile' additionally requires the preceding letters not be 'ab'.
+_RO_STEP0 = (
+    ("iilor", "i"),
+    ("ului", ""), ("elor", "e"), ("iile", "i"), ("ilor", "i"),
+    ("atei", "at"), ("aţie", "aţi"), ("aţia", "aţi"),
+    ("aua", "a"), ("ele", "e"), ("iua", "i"), ("iei", "i"), ("ile", "i"),
+    ("ul", ""), ("ea", "e"), ("ii", "i"),
+)
+
+# step 1 (combining suffixes, applied repeatedly in R1)
+_RO_COMBINING = (
+    ("abilităţi", "abil"), ("abilitate", "abil"), ("abilitati", "abil"),
+    ("abilităi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivităţi", "iv"), ("ivitate", "iv"), ("ivitati", "iv"),
+    ("ivităi", "iv"),
+    ("icităţi", "ic"), ("icitate", "ic"), ("icitati", "ic"),
+    ("icităi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+    ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+    ("iciv", "ic"), ("ical", "ic"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativă", "at"),
+    ("aţiune", "at"), ("atoare", "at"), ("atori", "at"),
+    ("ătoare", "at"), ("ători", "at"),
+    ("ativ", "at"), ("ator", "at"), ("ător", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+    ("iţiune", "it"), ("itoare", "it"), ("itori", "it"),
+    ("itiv", "it"), ("itor", "it"),
+)
+
+# step 2 (standard suffixes, R2): plain delete set + ist-family + ţiune
+_RO_STD_DELETE = frozenset((
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităţi", "ităi",
+    "iv", "iva", "ive", "ivi", "ivă",
+))
+_RO_STD_IST = frozenset(
+    ("ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti"))
+_RO_STEP2 = tuple(sorted(
+    _RO_STD_DELETE | _RO_STD_IST | {"iune", "iuni"},
+    key=len, reverse=True))
+
+# verb suffixes (searched within the RV limit). True = delete only when
+# preceded (within RV) by a non-vowel or by 'u'; False = always delete.
+_RO_VERB = tuple(sorted((
+    # infinitive / gerund
+    ("are", True), ("ere", True), ("ire", True), ("âre", True),
+    ("ind", True), ("ând", True), ("indu", True), ("ându", True),
+    # present / subjunctive -ez / -esc families
+    ("ez", True), ("ezi", True), ("eze", True), ("ează", True),
+    ("esc", True), ("eşti", True), ("eşte", True), ("ească", True),
+    ("ăsc", True), ("ăşti", True), ("ăşte", True),
+    # imperfect
+    ("am", True), ("ai", True), ("au", True),
+    ("eam", True), ("eai", True), ("ea", True), ("eaţi", True),
+    ("eau", True),
+    ("iam", True), ("iai", True), ("ia", True), ("iaţi", True),
+    ("iau", True),
+    # simple perfect
+    ("ui", True), ("uşi", True), ("urăm", True), ("urăţi", True),
+    ("ură", True),
+    ("aşi", True), ("arăm", True), ("arăţi", True), ("ară", True),
+    ("âi", True), ("âşi", True), ("ârăm", True), ("ârăţi", True),
+    ("âră", True),
+    ("işi", True), ("irăm", True), ("irăţi", True), ("iră", True),
+    # person endings / s-perfect / pluperfect: unconditional
+    ("ăm", False), ("aţi", False), ("em", False), ("eţi", False),
+    ("im", False), ("iţi", False), ("âm", False), ("âţi", False),
+    ("sei", False), ("seşi", False), ("se", False),
+    ("serăm", False), ("serăţi", False), ("seră", False),
+    ("sesem", False), ("seseşi", False), ("sese", False),
+    ("seserăm", False), ("seserăţi", False), ("seseră", False),
+), key=lambda t: len(t[0]), reverse=True))
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian stem of a lower-case word."""
+    w = word.lower().replace("ș", "ş").replace("ț", "ţ")
+    w = _ro_mark(w)
+    rv = _ro_rv(w)
+    r1, r2 = _ro_r1r2(w)
+
+    def start(sfx: str) -> int:
+        return len(w) - len(sfx)
+
+    flag = False  # a suffix was removed by step 1 or step 2
+
+    # Step 0: plural removal — longest match, then the in-R1 test once
+    for sfx, repl in _RO_STEP0:
+        if w.endswith(sfx):
+            if start(sfx) >= r1 and not (
+                    sfx == "ile" and w[: start(sfx)].endswith("ab")):
+                w = w[: start(sfx)] + repl
+            break
+
+    # Step 1: combining suffixes — repeat until no replacement
+    while True:
+        for sfx, repl in _RO_COMBINING:
+            if w.endswith(sfx):
+                if start(sfx) >= r1:
+                    w = w[: start(sfx)] + repl
+                    flag = True
+                    continue_outer = True
+                else:
+                    continue_outer = False
+                break
+        else:
+            break
+        if not continue_outer:
+            break
+
+    # Step 2: standard suffixes — longest match, then the in-R2 test once
+    for sfx in _RO_STEP2:
+        if w.endswith(sfx):
+            if start(sfx) >= r2:
+                if sfx in ("iune", "iuni"):
+                    if w[: start(sfx)].endswith("ţ"):
+                        w = w[: start(sfx) - 1] + "t"
+                        flag = True
+                elif sfx in _RO_STD_IST:
+                    w = w[: start(sfx)] + "ist"
+                    flag = True
+                else:
+                    w = w[: start(sfx)]
+                    flag = True
+            break
+
+    # Step 3: verb suffixes — only if steps 1-2 removed nothing; the
+    # search runs WITHIN the RV limit (a longer suffix crossing the RV
+    # boundary is invisible; the preceded-by test must also stay in RV)
+    if not flag:
+        for sfx, cond in _RO_VERB:
+            if w.endswith(sfx) and start(sfx) >= rv:
+                k = start(sfx)
+                if cond:
+                    if k - 1 >= rv and (w[k - 1] not in _RO_VOWELS
+                                        or w[k - 1] == "u"):
+                        w = w[:k]
+                else:
+                    w = w[:k]
+                break
+
+    # Step 4: final vowel — longest of ie/a/e/i/ă, in-RV test once
+    for sfx in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(sfx):
+            if start(sfx) >= rv:
+                w = w[: start(sfx)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -2020,4 +2239,5 @@ STEMMERS = {
     "swedish": swedish_stem,  # Snowball Swedish
     "danish": danish_stem,  # Snowball Danish
     "norwegian": norwegian_stem,  # Snowball Norwegian
+    "romanian": romanian_stem,  # Snowball Romanian
 }

@@ -83,8 +83,8 @@ def test_manifest_records_supported_languages(small_index):
     m = load_manifest(idx)
     assert m["tokenizer"]["supported_languages"] == \
         ["danish", "dutch", "english", "french", "german", "italian",
-         "norwegian", "porter", "portuguese", "russian", "spanish",
-         "swedish"]
+         "norwegian", "porter", "portuguese", "romanian", "russian",
+         "spanish", "swedish"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):
