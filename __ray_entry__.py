@@ -479,6 +479,14 @@ def _q_search_bm25_romanian(sf_dir: str):
         _index_for(sf_dir, _full_cfg(language="romanian")))
 
 
+def _q_search_bm25_hungarian(sf_dir: str):
+    """BM25 over a Hungarian-stemmed index (Snowball Hungarian,
+    round-4): the same query suite, every term stemmed by
+    text/stemmer.hungarian_stem on both the build and query sides."""
+    return _search_suite(
+        _index_for(sf_dir, _full_cfg(language="hungarian")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -902,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_danish": _q_search_bm25_danish,
         "search_bm25_norwegian": _q_search_bm25_norwegian,
         "search_bm25_romanian": _q_search_bm25_romanian,
+        "search_bm25_hungarian": _q_search_bm25_hungarian,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -1149,6 +1158,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_romanian"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="romanian"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_hungarian"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="hungarian"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

@@ -2226,6 +2226,174 @@ def romanian_stem(word: str) -> str:
     return w.replace("I", "i").replace("U", "u")
 
 
+# -- Snowball Hungarian -----------------------------------------------------
+# Clean-room implementation of the published Hungarian stemming algorithm
+# (snowballstem.org, "The Hungarian stemming algorithm", Anna Tordai). The
+# reference accepts it through nltk's SnowballStemmer (reference
+# tokenizer.py:24-33). Hungarian is vowel-harmony agglutinative: the
+# algorithm is nine ordered suffix-stripping passes over R1 (instrumental,
+# frequent cases, special/other cases, factive, owned, singular/plural
+# owner, plural), with consonant UNDOUBLING when the instrumental or
+# factive suffix follows a doubled consonant or doubled digraph.
+
+_HU_VOWELS = frozenset("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+# doubled digraphs first (undouble drops the first letter), then the
+# plain double consonants (undouble drops one)
+_HU_DOUBLE_TRI = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs")
+_HU_DOUBLE_LETTERS = frozenset("bcdfgjklmnprstvz")
+
+
+def _hu_r1(w: str) -> int:
+    """R1: after the first consonant-or-digraph if the word begins with
+    a vowel, else after the first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        for i in range(1, n):
+            if w[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return min(n, i + len(d))
+                return i + 1
+        return n
+    for i in range(1, n):
+        if w[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    for d in _HU_DOUBLE_TRI:
+        if w.endswith(d):
+            return w[:-3] + d[1:]
+    if (len(w) >= 2 and w[-1] == w[-2]
+            and w[-1] in _HU_DOUBLE_LETTERS):
+        return w[:-1]
+    return w
+
+
+def _hu_ends_double(w: str) -> bool:
+    if any(w.endswith(d) for d in _HU_DOUBLE_TRI):
+        return True
+    return (len(w) >= 2 and w[-1] == w[-2]
+            and w[-1] in _HU_DOUBLE_LETTERS)
+
+
+# step 2 — frequent cases (delete, then final á→a / é→e)
+_HU_CASE = tuple(sorted((
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen",
+    "kor", "ul", "ül", "vá", "vé", "onként", "enként", "anként", "ként",
+    "en", "on", "an", "ön", "n", "t",
+), key=len, reverse=True))
+
+# step 3 — special cases (suffix → replacement)
+_HU_SPECIAL = (("ánként", "a"), ("án", "a"), ("én", "e"))
+
+# step 4 — other cases
+_HU_OTHER = (("astul", ""), ("estül", ""), ("ástul", "a"),
+             ("éstül", "e"), ("stul", ""), ("stül", ""))
+
+# step 6 — owned
+_HU_OWNED = tuple(sorted((
+    ("oké", ""), ("öké", ""), ("aké", ""), ("eké", ""), ("ké", ""),
+    ("éi", ""), ("é", ""),
+    ("áké", "a"), ("áéi", "a"),
+    ("éké", "e"), ("ééi", "e"), ("éé", "e"),
+), key=lambda t: len(t[0]), reverse=True))
+
+# step 7 — singular owner
+_HU_SING_OWNER = tuple(sorted((
+    ("ünk", ""), ("unk", ""), ("nk", ""), ("juk", ""), ("jük", ""),
+    ("uk", ""), ("ük", ""), ("em", ""), ("om", ""), ("am", ""),
+    ("m", ""), ("od", ""), ("ed", ""), ("ad", ""), ("öd", ""),
+    ("d", ""), ("ja", ""), ("je", ""), ("a", ""), ("e", ""), ("o", ""),
+    ("ánk", "a"), ("ájuk", "a"), ("ám", "a"), ("ád", "a"), ("á", "a"),
+    ("énk", "e"), ("éjük", "e"), ("ém", "e"), ("éd", "e"), ("é", "e"),
+), key=lambda t: len(t[0]), reverse=True))
+
+# step 8 — plural owner
+_HU_PLUR_OWNER = tuple(sorted((
+    ("jaim", ""), ("jeim", ""), ("aim", ""), ("eim", ""), ("im", ""),
+    ("jaid", ""), ("jeid", ""), ("aid", ""), ("eid", ""), ("id", ""),
+    ("jai", ""), ("jei", ""), ("ai", ""), ("ei", ""), ("i", ""),
+    ("jaink", ""), ("jeink", ""), ("eink", ""), ("aink", ""),
+    ("ink", ""),
+    ("jaitok", ""), ("jeitek", ""), ("aitok", ""), ("eitek", ""),
+    ("itek", ""),
+    ("jeik", ""), ("jaik", ""), ("aik", ""), ("eik", ""), ("ik", ""),
+    ("áim", "a"), ("áid", "a"), ("ái", "a"), ("áink", "a"),
+    ("áitok", "a"), ("áik", "a"),
+    ("éim", "e"), ("éid", "e"), ("éi", "e"), ("éink", "e"),
+    ("éitek", "e"), ("éik", "e"),
+), key=lambda t: len(t[0]), reverse=True))
+
+# step 9 — plural
+_HU_PLURAL = (("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""),
+              ("ek", ""), ("ak", ""), ("k", ""))
+
+
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian stem of a lower-case word."""
+    w = word.lower()
+    r1 = _hu_r1(w)
+
+    def start(sfx: str) -> int:
+        return len(w) - len(sfx)
+
+    # Step 1: instrumental al/el — in R1, preceded by a double
+    # consonant, which is then undoubled
+    for sfx in ("al", "el"):
+        if w.endswith(sfx):
+            k = start(sfx)
+            if k >= r1 and _hu_ends_double(w[:k]):
+                w = _hu_undouble(w[:k])
+            break
+
+    # Step 2: frequent cases — longest match, in-R1 test once; then
+    # normalise a final á→a / é→e
+    for sfx in _HU_CASE:
+        if w.endswith(sfx):
+            if start(sfx) >= r1:
+                w = w[: start(sfx)]
+                if w.endswith("á"):
+                    w = w[:-1] + "a"
+                elif w.endswith("é"):
+                    w = w[:-1] + "e"
+            break
+
+    # Steps 3-9: longest match within the step, in-R1 test once, then
+    # replace
+    for table in (_HU_SPECIAL, _HU_OTHER):
+        for sfx, repl in table:
+            if w.endswith(sfx):
+                if start(sfx) >= r1:
+                    w = w[: start(sfx)] + repl
+                break
+
+    # Step 5: factive á/é — in R1, preceded by a double consonant,
+    # which is then undoubled
+    for sfx in ("á", "é"):
+        if w.endswith(sfx):
+            k = start(sfx)
+            if k >= r1 and _hu_ends_double(w[:k]):
+                w = _hu_undouble(w[:k])
+            break
+
+    for table in (_HU_OWNED, _HU_SING_OWNER, _HU_PLUR_OWNER,
+                  _HU_PLURAL):
+        for sfx, repl in table:
+            if w.endswith(sfx):
+                if start(sfx) >= r1:
+                    w = w[: start(sfx)] + repl
+                break
+
+    return w
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -2240,4 +2408,5 @@ STEMMERS = {
     "danish": danish_stem,  # Snowball Danish
     "norwegian": norwegian_stem,  # Snowball Norwegian
     "romanian": romanian_stem,  # Snowball Romanian
+    "hungarian": hungarian_stem,  # Snowball Hungarian
 }

@@ -82,9 +82,9 @@ def test_manifest_records_supported_languages(small_index):
     _, idx = small_index
     m = load_manifest(idx)
     assert m["tokenizer"]["supported_languages"] == \
-        ["danish", "dutch", "english", "french", "german", "italian",
-         "norwegian", "porter", "portuguese", "romanian", "russian",
-         "spanish", "swedish"]
+        ["danish", "dutch", "english", "french", "german", "hungarian",
+         "italian", "norwegian", "porter", "portuguese", "romanian",
+         "russian", "spanish", "swedish"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):
