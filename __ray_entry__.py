@@ -487,6 +487,14 @@ def _q_search_bm25_hungarian(sf_dir: str):
         _index_for(sf_dir, _full_cfg(language="hungarian")))
 
 
+def _q_search_bm25_finnish(sf_dir: str):
+    """BM25 over a Finnish-stemmed index (Snowball Finnish, round-4):
+    the same query suite, every term stemmed by
+    text/stemmer.finnish_stem on both the build and query sides."""
+    return _search_suite(
+        _index_for(sf_dir, _full_cfg(language="finnish")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_norwegian": _q_search_bm25_norwegian,
         "search_bm25_romanian": _q_search_bm25_romanian,
         "search_bm25_hungarian": _q_search_bm25_hungarian,
+        "search_bm25_finnish": _q_search_bm25_finnish,
         "search_phrase": _q_search_phrase,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
@@ -1162,6 +1171,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_hungarian"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="hungarian"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_finnish"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="finnish"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

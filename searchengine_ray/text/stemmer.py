@@ -2394,6 +2394,204 @@ def hungarian_stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Snowball Finnish stemmer, clean-room from the published algorithm
+# (snowballstem.org, "The Finnish stemming algorithm") — public
+# knowledge (reference tokenizer.py:24-33 accepts any Snowball
+# language name).
+#
+# Structure captured from the published program:
+# - R1/R2 are the standard regions (no 3-letter minimum, unlike the
+#   Scandinavian stemmers).
+# - Every step wraps its suffix search in ``setlimit tomark p1`` (p2
+#   for step 4 and the mma/imma tail of step 5), so a suffix matches
+#   only when it lies ENTIRELY within the region — a shorter suffix
+#   can match when a longer one starts before the region — while the
+#   chosen branch's "preceded by" condition is tested on the full
+#   word (the preceding letters may sit before R1). Condition failure
+#   fails the whole step: among does not backtrack to shorter
+#   suffixes.
+# - Step 3 (case endings) records whether it removed an ending;
+#   step 5 (plural) branches on that flag.
+
+_FI_VOWELS = frozenset("aeiouyäö")
+_FI_LONG_VOWELS = frozenset(("aa", "ee", "ii", "oo", "uu", "ää", "öö"))
+
+# step 3 hXn family: the suffix deletes only after its own harmony
+# vowel (ahan/ehen/ihin/ohon/uhun/yhyn/ähän/öhön)
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö"}
+
+_FI_PARTICLES = ("kaan", "kään", "kin", "han", "hän", "sti",
+                 "ko", "kö", "pa", "pä")
+_FI_POSSESSIVES = ("nsa", "nsä", "mme", "nne", "si", "ni",
+                   "an", "än", "en")
+_FI_CASES = (
+    "seen", "siin", "tten",
+    "han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön",
+    "den", "tta", "ttä", "ssa", "ssä", "sta", "stä",
+    "lla", "llä", "lta", "ltä", "lle", "ine", "ksi",
+    "ta", "tä", "na", "nä",
+    "a", "ä", "n",
+)
+_FI_COMPARATIVES = ("impi", "impa", "impä", "immi", "imma", "immä",
+                    "eja", "ejä", "mpi", "mpa", "mpä", "mmi", "mma",
+                    "mmä")
+
+
+def _fi_r1_r2(w: str) -> tuple[int, int]:
+    """Standard Snowball R1/R2 over the Finnish vowel set."""
+    n = len(w)
+
+    def region_after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _FI_VOWELS:
+            i += 1
+        while i < n and w[i] in _FI_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+
+    r1 = region_after(0)
+    return r1, region_after(r1)
+
+
+def _fi_longest_within(w: str, table, region: int) -> str | None:
+    """Longest suffix from ``table`` lying entirely within the region
+    (tables are ordered longest-first)."""
+    for sfx in table:
+        if w.endswith(sfx) and len(w) - len(sfx) >= region:
+            return sfx
+    return None
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish stem of a lower-case word."""
+    w = word.lower()
+    r1, r2 = _fi_r1_r2(w)
+
+    # Step 1: particles etc. — sti needs R2; the rest need a
+    # preceding n, t or vowel (which may sit before R1)
+    sfx = _fi_longest_within(w, _FI_PARTICLES, r1)
+    if sfx is not None:
+        k = len(w) - len(sfx)
+        if sfx == "sti":
+            if k >= r2:
+                w = w[:k]
+        elif k >= 1 and (w[k - 1] in "nt" or w[k - 1] in _FI_VOWELS):
+            w = w[:k]
+
+    # Step 2: possessives
+    sfx = _fi_longest_within(w, _FI_POSSESSIVES, r1)
+    if sfx is not None:
+        k = len(w) - len(sfx)
+        if sfx == "si":
+            if not (k >= 1 and w[k - 1] == "k"):
+                w = w[:k]
+        elif sfx == "ni":
+            w = w[:k]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif sfx == "an":
+            if w[:k].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                w = w[:k]
+        elif sfx == "än":
+            if w[:k].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                w = w[:k]
+        elif sfx == "en":
+            if w[:k].endswith(("lle", "ine")):
+                w = w[:k]
+        else:  # nsa nsä mme nne
+            w = w[:k]
+
+    # Step 3: case endings (sets the flag step 5 branches on)
+    ended = False
+    sfx = _fi_longest_within(w, _FI_CASES, r1)
+    if sfx is not None:
+        k = len(w) - len(sfx)
+        if sfx in _FI_HXN:
+            if k >= 1 and w[k - 1] == _FI_HXN[sfx]:
+                w = w[:k]
+                ended = True
+        elif sfx in ("siin", "den", "tten"):
+            # preceded by Vi (a vowel then i)
+            if k >= 2 and w[k - 1] == "i" and w[k - 2] in _FI_VOWELS:
+                w = w[:k]
+                ended = True
+        elif sfx == "seen":
+            if w[k - 2:k] in _FI_LONG_VOWELS:
+                w = w[:k]
+                ended = True
+        elif sfx in ("a", "ä"):
+            # preceded by cv (consonant then vowel)
+            if (k >= 2 and w[k - 2] not in _FI_VOWELS
+                    and w[k - 1] in _FI_VOWELS):
+                w = w[:k]
+                ended = True
+        elif sfx in ("tta", "ttä"):
+            if k >= 1 and w[k - 1] == "e":
+                w = w[:k]
+                ended = True
+        elif sfx == "n":
+            w = w[:k]
+            # …and a preceding long vowel or 'ie' loses its last letter
+            if w[-2:] in _FI_LONG_VOWELS or w.endswith("ie"):
+                w = w[:-1]
+            ended = True
+        else:  # ta tä ssa ssä sta stä lla llä lta ltä lle na nä ksi ine
+            w = w[:k]
+            ended = True
+
+    # Step 4: other endings (comparatives/superlatives) — in R2; the
+    # bare m-forms are blocked after 'po'
+    sfx = _fi_longest_within(w, _FI_COMPARATIVES, r2)
+    if sfx is not None:
+        k = len(w) - len(sfx)
+        if len(sfx) == 3 and sfx[0] == "m":
+            if not w[:k].endswith("po"):
+                w = w[:k]
+        else:
+            w = w[:k]
+
+    # Step 5: plurals — i/j if a case ending was removed, else a
+    # vowel-preceded t (whose removal re-exposes mma/imma in R2)
+    if ended:
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and len(w) - 1 >= r1
+                and len(w) >= 2 and w[-2] in _FI_VOWELS):
+            w = w[:-1]
+            sfx = _fi_longest_within(w, ("imma", "mma"), r2)
+            if sfx == "imma":
+                w = w[: -4]
+            elif sfx == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # Step 6: tidying — (a)…(e) each attempted in turn
+    # (a) R1 ends with a long vowel → undouble it
+    if len(w) - 2 >= r1 and w[-2:] in _FI_LONG_VOWELS:
+        w = w[:-1]
+    # (b) R1 ends consonant + one of a ä e i → drop the vowel
+    if (len(w) - 2 >= r1 and w[-1] in "aäei"
+            and w[-2] not in _FI_VOWELS):
+        w = w[:-1]
+    # (c) R1 ends oj / uj → drop the j
+    if len(w) - 2 >= r1 and w[-2:] in ("oj", "uj"):
+        w = w[:-1]
+    # (d) R1 ends jo → drop the o
+    if len(w) - 2 >= r1 and w[-2:] == "jo":
+        w = w[:-1]
+    # (e) the word ends with a double consonant followed by zero or
+    # more vowels → undouble (eläkk → eläk, aatonaatto → aatonaato)
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_VOWELS:
+        i -= 1
+    if i >= 2 and w[i - 1] == w[i - 2] and w[i - 1] not in _FI_VOWELS:
+        w = w[: i - 1] + w[i:]
+
+    return w
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -2409,4 +2607,5 @@ STEMMERS = {
     "norwegian": norwegian_stem,  # Snowball Norwegian
     "romanian": romanian_stem,  # Snowball Romanian
     "hungarian": hungarian_stem,  # Snowball Hungarian
+    "finnish": finnish_stem,  # Snowball Finnish
 }

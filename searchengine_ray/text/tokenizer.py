@@ -71,13 +71,14 @@ def load_stop_words(path: str | Path | None) -> frozenset[str] | None:
 # 'english' (Snowball Porter2), 'porter' (the original 1980 Porter
 # algorithm — also a SnowballStemmer language option), 'german',
 # 'spanish', 'french', 'italian', 'portuguese', 'dutch', 'russian',
-# 'swedish', 'danish', 'norwegian', 'romanian' and 'hungarian' (each
-# Snowball, clean-room from the public spec). Any other language
-# FAILS LOUDLY instead of silently stemming with the wrong algorithm.
+# 'swedish', 'danish', 'norwegian', 'romanian', 'hungarian' and
+# 'finnish' (each Snowball, clean-room from the public spec). Any
+# other language FAILS LOUDLY instead of silently stemming with the
+# wrong algorithm.
 SUPPORTED_LANGUAGES = frozenset(
     {"english", "porter", "german", "spanish", "french", "italian",
      "portuguese", "dutch", "russian", "swedish", "danish", "norwegian",
-     "romanian", "hungarian"}
+     "romanian", "hungarian", "finnish"}
 )
 
 
