@@ -157,6 +157,22 @@ def _q_top_terms(sf_dir: str):
     return out
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact discrete document-length quantiles from a bounded value
+    histogram — the scale path for percentiles (no global sort)."""
+    from searchengine_ray.pipelines.analysis import token_quantiles
+
+    return token_quantiles(_docs_ds(sf_dir))
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-100 terms via two-pass Misra-Gries sketches: shuffle
+    payload is sketch-capacity-bounded instead of vocabulary-sized."""
+    from searchengine_ray.pipelines.analysis import heavy_hitters
+
+    return heavy_hitters(_docs_ds(sf_dir), k=100)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -891,6 +907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "top_terms": _q_top_terms,
         "top_bigrams": _q_top_bigrams,
+        "token_quantiles": _q_token_quantiles,
+        "heavy_hitters": _q_heavy_hitters,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -965,6 +983,11 @@ def oracle_sql() -> dict[str, str]:
         f"lower(regexp_replace(text, '{pclass}', ' ', 'g')), '\\s+'), "
         "t -> length(t) >= 2)) AS term FROM documents"
     )
+    toks_base = (
+        "SELECT doc_id, list_filter(regexp_split_to_array("
+        f"lower(regexp_replace(text, '{pclass}', ' ', 'g')), '\\s+'), "
+        "t -> length(t) >= 2) AS toks FROM documents"
+    )
     qterms = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     out = {
         "doc_lengths": (
@@ -985,6 +1008,22 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS ({toks}) "
             "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
             "ORDER BY cf DESC, term ASC LIMIT 50"
+        ),
+        "token_quantiles": (
+            f"WITH base AS MATERIALIZED ({toks_base}), "
+            "dl AS MATERIALIZED "
+            "(SELECT len(toks)::BIGINT AS dl FROM base) "
+            "SELECT 25::BIGINT AS pct, "
+            "quantile_disc(dl, 0.25)::BIGINT AS dl_q FROM dl "
+            "UNION ALL SELECT 50, quantile_disc(dl, 0.50) FROM dl "
+            "UNION ALL SELECT 75, quantile_disc(dl, 0.75) FROM dl "
+            "UNION ALL SELECT 90, quantile_disc(dl, 0.90) FROM dl "
+            "UNION ALL SELECT 99, quantile_disc(dl, 0.99) FROM dl"
+        ),
+        "heavy_hitters": (
+            f"WITH toks AS ({toks}) "
+            "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
+            "ORDER BY cf DESC, term ASC LIMIT 100"
         ),
         "top_bigrams": (
             "WITH base AS (SELECT doc_id, list_filter("

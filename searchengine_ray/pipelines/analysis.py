@@ -429,3 +429,203 @@ def pii_redact_batch(batch: pa.Table) -> pa.Table:
         "n_phones": n_ph,
         "redacted_fp": pa.array(fps, pa.string()),
     })
+
+
+# -- exact distributed quantiles -------------------------------------------
+
+def dl_hist_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch histogram partial of simple-token document lengths:
+    (dl, dl_key, cnt). The histogram DOMAIN is bounded by the longest
+    document, not by the corpus, so the folded table stays tiny at any
+    scale; ``dl_key`` is the stringified dl that fold.py's hash
+    exchange buckets on (it hashes string keys)."""
+    t = doc_lengths_batch(batch)
+    vc = pc.value_counts(t["dl"])
+    if len(vc) == 0:
+        return pa.table({"dl": pa.array([], pa.int64()),
+                         "dl_key": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    vals = vc.field("values").cast(pa.int64())
+    return pa.table({
+        "dl": vals,
+        "dl_key": pc.cast(vals, pa.string()),
+        "cnt": vc.field("counts").cast(pa.int64()),
+    })
+
+
+def token_quantiles(docs_ds, pcts=(25, 50, 75, 90, 99),
+                    fold_mode: str = "auto") -> pa.Table:
+    """→ pa.Table (pct, dl_q): exact discrete quantiles of the
+    simple-token document-length distribution.
+
+    Scale path: quantiles of a huge column come EXACTLY from a value
+    histogram whenever the value domain is bounded (token counts are
+    bounded by the longest document): per-batch ``value_counts``
+    partials → bounded fold (fold.py: driver Arrow group_by at bench
+    scale, hash exchange above the row limit) → tiny sorted histogram
+    → cumulative-count lookup. No global sort, no shuffle of the data
+    itself — the classic alternative (``ds.sort`` + rank pick) moves
+    every row across the cluster.
+
+    ``dl_q`` follows PERCENTILE_DISC semantics (DuckDB
+    ``quantile_disc``): the smallest value whose cumulative count
+    reaches ``ceil(pct/100 * N)`` — integer arithmetic throughout, so
+    there is no float boundary wobble against the SQL oracle.
+    """
+    from searchengine_ray.pipelines.fold import fold_count_partials
+
+    folded = fold_count_partials(
+        docs_ds.map_batches(dl_hist_partial_batch, batch_format="pyarrow"),
+        key_cols=["dl", "dl_key"],
+        sum_col="cnt",
+        bucket_col="dl_key",
+        mode=fold_mode,
+    )
+    empty = pa.table({"pct": pa.array([], pa.int64()),
+                      "dl_q": pa.array([], pa.int64())})
+    if folded.num_rows == 0:
+        return empty
+    dl = folded["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = folded["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dl, kind="stable")
+    dl, cnt = dl[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    if n == 0:
+        return empty
+    out_p, out_v = [], []
+    for p in pcts:
+        target = max((int(p) * n + 99) // 100, 1)   # ceil(p/100 * N)
+        i = int(np.searchsorted(cum, target, side="left"))
+        out_p.append(int(p))
+        out_v.append(int(dl[min(i, len(dl) - 1)]))
+    return pa.table({"pct": pa.array(out_p, pa.int64()),
+                     "dl_q": pa.array(out_v, pa.int64())})
+
+
+# -- heavy hitters (two-pass exact top-k via Misra-Gries sketches) ---------
+
+# Whitespace can never survive tokenization, so this key cannot collide
+# with a real term; it carries each batch's MG decrement (deficit).
+_MG_DEFICIT_SENTINEL = "\t"
+
+
+def mg_sketch_batch(batch: pa.Table, capacity: int = 4096) -> pa.Table:
+    """Per-batch Misra-Gries summary of simple-token counts: the exact
+    batch ``value_counts`` compressed to ≤ ``capacity`` entries by
+    subtracting the (capacity+1)-th largest count from every entry and
+    dropping the non-positive ones (the standard MG decrement). Each
+    term's count is under-estimated by at most the subtracted
+    threshold, which is ≤ N_batch/(capacity+1); the threshold itself
+    rides along as a sentinel row so the driver can bound the GLOBAL
+    under-estimate D = Σ per-batch thresholds without a second scan
+    (MG summaries merge by summation — Agarwal et al., "Mergeable
+    Summaries", PODS 2012)."""
+    flat, _ = simple_tokens_flat(batch["text"])
+    vc = pc.value_counts(flat)
+    terms = vc.field("values")
+    counts = np.asarray(vc.field("counts"), dtype=np.int64)
+    deficit = 0
+    if len(counts) > capacity:
+        kth = len(counts) - capacity - 1
+        thresh = int(np.partition(counts, kth)[kth])
+        keep = counts > thresh
+        terms = terms.filter(pa.array(keep))
+        counts = counts[keep] - thresh
+        deficit = thresh
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    return pa.table({
+        "term": pa.concat_arrays(
+            [terms, pa.array([_MG_DEFICIT_SENTINEL], pa.string())]
+        ),
+        "c_hat": pa.array(np.concatenate([counts, [deficit]]), pa.int64()),
+    })
+
+
+class CandidateCountStage:
+    """Actor-pool stage: exact counts restricted to the broadcast
+    candidate set (``ray.put`` once, ``ray.get`` in ``__init__`` — the
+    broadcast pattern; ObjectRefs nested in fn_constructor_kwargs are
+    not auto-resolved)."""
+
+    def __init__(self, terms_ref) -> None:
+        import ray
+
+        self.value_set = ray.get(terms_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, _ = simple_tokens_flat(batch["text"])
+        hits = flat.filter(pc.is_in(flat, value_set=self.value_set))
+        vc = pc.value_counts(hits)
+        if len(vc) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf_partial": pa.array([], pa.int64())})
+        return pa.table({"term": vc.field("values"),
+                         "cf_partial": vc.field("counts").cast(pa.int64())})
+
+
+def heavy_hitters(docs_ds, k: int = 100, capacity: int = 4096,
+                  concurrency=None, fold_mode: str = "auto") -> pa.Table:
+    """→ pa.Table (term, cf): the EXACT top-k most frequent simple
+    tokens, computed without shuffling the vocabulary.
+
+    Two passes: (1) per-batch Misra-Gries sketches (≤ capacity rows
+    each) folded into a candidate set — any term whose true count
+    exceeds the summed MG deficit D survives in it; (2) exact counts
+    of the candidates only (broadcast membership filter, per-batch
+    partials, bounded fold). The result is PROVABLY exact when the
+    k-th candidate count is > D (every non-candidate is ≤ D, so none
+    can reach — or tie into — the top k); on the rare miss the
+    operator falls back to the full exact aggregate. Versus
+    ``top_terms``'s partial-aggregate groupby, the shuffle payload
+    shrinks from the whole vocabulary to ~capacity rows per batch in
+    pass 1 and |candidates| rows in pass 2."""
+    import ray
+
+    from searchengine_ray.pipelines.fold import fold_count_partials
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    sketch = fold_count_partials(
+        docs_ds.map_batches(
+            mg_sketch_batch, fn_kwargs={"capacity": capacity},
+            batch_format="pyarrow",
+        ),
+        key_cols=["term"],
+        sum_col="c_hat",
+        mode=fold_mode,
+    )
+    sentinel = pc.equal(sketch["term"], _MG_DEFICIT_SENTINEL)
+    deficit = int(pc.sum(sketch.filter(sentinel)["c_hat_sum"]).as_py() or 0)
+    candidates = sketch.filter(pc.invert(sentinel))["term"].combine_chunks()
+
+    exact = fold_count_partials(
+        docs_ds.map_batches(
+            CandidateCountStage,
+            fn_constructor_kwargs={"terms_ref": ray.put(candidates)},
+            batch_format="pyarrow",
+            concurrency=concurrency or autoscale_concurrency(),
+        ),
+        key_cols=["term"],
+        sum_col="cf_partial",
+        mode=fold_mode,
+        empty_result=pa.table({"term": pa.array([], pa.string()),
+                               "cf_partial_sum": pa.array([], pa.int64())}),
+    )
+    top = exact.rename_columns(["term", "cf"]).sort_by(
+        [("cf", "descending"), ("term", "ascending")]
+    ).slice(0, k)
+    kth = top["cf"][k - 1].as_py() if top.num_rows >= k else None
+    provably_exact = (kth is not None and kth > deficit) or deficit == 0
+    if not provably_exact:
+        full = fold_count_partials(
+            docs_ds.map_batches(term_cf_partial_batch,
+                                batch_format="pyarrow"),
+            key_cols=["term"],
+            sum_col="cf_partial",
+            mode=fold_mode,
+        )
+        top = full.rename_columns(["term", "cf"]).sort_by(
+            [("cf", "descending"), ("term", "ascending")]
+        ).slice(0, k)
+    return top
