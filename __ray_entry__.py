@@ -39,6 +39,7 @@ SEARCH_QUERIES = [
 ]
 K1, B = 1.2, 0.75
 TOPK = 10
+FUZZY_QUERY_TERMS = ["qurey", "scann", "jion", "windw"]  # typos of vocab terms
 
 _STOP_SQL_LIST = "['the','and','of','to','in','is','it','on','for','as']"
 
@@ -171,6 +172,15 @@ def _q_heavy_hitters(sf_dir: str):
     from searchengine_ray.pipelines.analysis import heavy_hitters
 
     return heavy_hitters(_docs_ds(sf_dir), k=100)
+
+
+def _q_fuzzy_suggest(sf_dir: str):
+    """Did-you-mean: deletion-neighborhood blocking (SymSpell) + exact
+    Levenshtein verify; only candidate df partials cross the wire."""
+    from searchengine_ray.query.fuzzy import fuzzy_suggest
+
+    return fuzzy_suggest(_docs_ds(sf_dir), FUZZY_QUERY_TERMS,
+                         max_dist=2, k=5)
 
 
 def _q_top_bigrams(sf_dir: str):
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "token_quantiles": _q_token_quantiles,
         "heavy_hitters": _q_heavy_hitters,
+        "fuzzy_suggest": _q_fuzzy_suggest,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1024,6 +1035,20 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS ({toks}) "
             "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
             "ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "fuzzy_suggest": (
+            f"WITH toks AS ({toks}), "
+            "vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "FROM toks GROUP BY 1), "
+            "q(qterm) AS (VALUES "
+            + ", ".join(f"('{t}')" for t in FUZZY_QUERY_TERMS) + "), "
+            "cand AS (SELECT q.qterm, v.term, "
+            "levenshtein(q.qterm, v.term)::BIGINT AS dist, v.df "
+            "FROM q CROSS JOIN vocab v "
+            "WHERE levenshtein(q.qterm, v.term) <= 2) "
+            "SELECT qterm, term, dist, df FROM cand "
+            "QUALIFY row_number() OVER (PARTITION BY qterm "
+            "ORDER BY dist ASC, df DESC, term ASC) <= 5"
         ),
         "top_bigrams": (
             "WITH base AS (SELECT doc_id, list_filter("
