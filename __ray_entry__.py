@@ -183,6 +183,15 @@ def _q_fuzzy_suggest(sf_dir: str):
                          max_dist=2, k=5)
 
 
+def _q_snippet_windows(sf_dir: str):
+    """Best query-coverage window per matching doc: doc-local numpy
+    searchsorted pass, per-batch top-k prune, tiny driver fold."""
+    from searchengine_ray.query.snippets import snippet_windows
+
+    return snippet_windows(_docs_ds(sf_dir), BM25_QUERY_TERMS,
+                           width=8, k=20)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -920,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "heavy_hitters": _q_heavy_hitters,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "snippet_windows": _q_snippet_windows,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1049,6 +1059,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qterm, term, dist, df FROM cand "
             "QUALIFY row_number() OVER (PARTITION BY qterm "
             "ORDER BY dist ASC, df DESC, term ASC) <= 5"
+        ),
+        "snippet_windows": (
+            f"WITH base AS ({toks_base}), "
+            "pos AS (SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) - 1 AS p FROM base), "
+            "hits AS (SELECT * FROM pos WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + ")), "
+            "wins AS (SELECT a.doc_id, a.p AS win_start, "
+            "count(DISTINCT b.term)::BIGINT AS n_terms "
+            "FROM hits a JOIN hits b ON a.doc_id = b.doc_id "
+            "AND b.p >= a.p AND b.p < a.p + 8 GROUP BY 1, 2), "
+            "best AS (SELECT doc_id, win_start, n_terms FROM wins "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY n_terms DESC, win_start ASC) = 1) "
+            "SELECT doc_id, win_start::BIGINT AS win_start, n_terms "
+            "FROM best ORDER BY n_terms DESC, doc_id ASC LIMIT 20"
         ),
         "top_bigrams": (
             "WITH base AS (SELECT doc_id, list_filter("
