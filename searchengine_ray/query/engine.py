@@ -137,6 +137,16 @@ class Searcher:
 
         return phrase_search(self, query, n or self.cfg.default_top_k)
 
+    def search_snippets(self, query: str, n: int | None = None,
+                        width: int = 8) -> pa.Table:
+        """Top-n results with their best query-coverage window straight
+        from the positional index → (rank, doc_id, score, win_start,
+        n_terms); see query/snippets.py."""
+        from searchengine_ray.query.snippets import index_snippets
+
+        return index_snippets(self, query, n or self.cfg.default_top_k,
+                              width)
+
     def search(self, query: str, n: int | None = None, with_urls: bool = True):
         """→ pyarrow Table (rank, doc_id, score[, url])."""
         tokens = self.tokenizer.tokenize(query)

@@ -33,7 +33,29 @@ _EMPTY = pa.table({
 
 # Composite coordinate stride: windows never cross documents because
 # width << 2^32 while consecutive docs sit 2^32 apart.
-_DOC_STRIDE = np.int64(1) << 32
+_SHIFT = np.int64(32)
+_DOC_STRIDE = np.int64(1) << _SHIFT
+
+
+def _best_window_per_doc(g: np.ndarray, tid: np.ndarray, n_query_terms: int,
+                         width: int):
+    """Core kernel. ``g``: SORTED composite (doc << 32 | pos) hit
+    coordinates; ``tid``: query-term id per hit. → (doc_part, win_start,
+    coverage) arrays with one row per doc — its max-coverage window,
+    leftmost on ties."""
+    n_terms = np.zeros(len(g), dtype=np.int64)
+    for t in range(n_query_terms):
+        gt = g[tid == t]
+        n_terms += np.searchsorted(gt, g + width) > np.searchsorted(gt, g)
+    doc = (g >> _SHIFT).astype(np.int64)
+    pos = (g & (_DOC_STRIDE - 1)).astype(np.int64)
+    order = np.lexsort((pos, -n_terms, doc))
+    sd = doc[order]
+    first = np.empty(len(sd), dtype=bool)
+    first[0] = True
+    np.not_equal(sd[1:], sd[:-1], out=first[1:])
+    sel = order[first]
+    return doc[sel], pos[sel], n_terms[sel]
 
 
 def snippet_windows_batch(
@@ -61,24 +83,11 @@ def snippet_windows_batch(
     m = term_id >= 0
     if not m.any():
         return _EMPTY
-    hit_par, hit_pos, hit_tid = par[m], pos[m], term_id[m]
-    g = hit_par * _DOC_STRIDE + hit_pos          # sorted ascending
-    n_terms = np.zeros(len(g), dtype=np.int64)
-    for t in range(len(query_terms)):
-        gt = g[hit_tid == t]
-        n_terms += np.searchsorted(gt, g + width) > np.searchsorted(gt, g)
-
-    # best window per doc: lexsort by (doc, -coverage, start), keep the
-    # first row of each doc run
-    order = np.lexsort((hit_pos, -n_terms, hit_par))
-    sp = hit_par[order]
-    first = np.empty(len(sp), dtype=bool)
-    first[0] = True
-    np.not_equal(sp[1:], sp[:-1], out=first[1:])
-    sel = order[first]
-
-    doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[hit_par[sel]]
-    best_start, best_cov = hit_pos[sel], n_terms[sel]
+    g = par[m] * _DOC_STRIDE + pos[m]            # sorted ascending
+    best_par, best_start, best_cov = _best_window_per_doc(
+        g, term_id[m], len(query_terms), width
+    )
+    doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[best_par]
     # batch-local top-k prune
     top = np.lexsort((doc_ids, -best_cov))[:k]
     return pa.table({
@@ -107,3 +116,75 @@ def snippet_windows(
     cov = t["n_terms"].to_numpy(zero_copy_only=False)
     top = np.lexsort((doc, -cov))[:k]
     return t.take(pa.array(top, pa.int64()))
+
+
+def index_snippets(searcher, query: str, n: int | None = None,
+                   width: int = 8) -> pa.Table:
+    """→ pa.Table (rank, doc_id, score, win_start, n_terms): the
+    searcher's top-n results, each with its best query-coverage window
+    computed FROM THE POSITIONAL INDEX — no document text is re-read or
+    re-tokenized at serve time; positions decode lazily for exactly the
+    top-n docs (the phrase-search subset decoder). Window positions are
+    ordinals in the index's filtered token stream (post stop-word /
+    stemming), and coverage counts distinct POST-TOKENIZATION query
+    terms, so duplicate query words collapse.
+
+    Serving-scale note: cost is O(top_n · |terms| · log df) searchsorted
+    probes plus the candidate-only position decode — independent of
+    corpus size given the fetched postings (which the posting LRU
+    already holds right after scoring)."""
+    tokens = searcher.tokenizer.tokenize(query)
+    doc_ids, scores = searcher.search_tokens(tokens, n)
+    out_base = {
+        "rank": pa.array(np.arange(1, doc_ids.size + 1, dtype=np.int32),
+                         pa.int32()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+    }
+    empty_win = {
+        "win_start": pa.array(np.full(doc_ids.size, -1), pa.int64()),
+        "n_terms": pa.array(np.zeros(doc_ids.size, np.int64), pa.int64()),
+    }
+    uniq = list(dict.fromkeys(tokens))
+    if doc_ids.size == 0 or not uniq:
+        return pa.table({**out_base, **empty_win})
+    recs = searcher.reader.fetch(uniq)
+    rs = {t: recs[t] for t in uniq if t in recs}
+    if any(r.positions is None for r in rs.values()):
+        raise ValueError(
+            "index snippets need a positional index (build with "
+            "posting_type=POSITIONAL)"
+        )
+    rank_order = np.argsort(doc_ids, kind="stable")
+    sorted_docs = doc_ids[rank_order].astype(np.int64)
+    gs, tids = [], []
+    for t_id, t in enumerate(uniq):
+        r = rs.get(t)
+        if r is None:
+            continue
+        idx = np.searchsorted(r.doc_ids, sorted_docs)
+        np.clip(idx, 0, max(0, r.doc_ids.size - 1), out=idx)
+        present = r.doc_ids[idx] == sorted_docs
+        if not present.any():
+            continue
+        flat, lens, _ = r.positions_slices(idx[present])
+        drank = np.repeat(rank_order[present].astype(np.int64), lens)
+        gs.append(drank * _DOC_STRIDE + flat.astype(np.int64))
+        tids.append(np.full(flat.size, t_id, dtype=np.int64))
+    if not gs:
+        return pa.table({**out_base, **empty_win})
+    g = np.concatenate(gs)
+    tid = np.concatenate(tids)
+    order = np.argsort(g, kind="stable")
+    best_rank, best_start, best_cov = _best_window_per_doc(
+        g[order], tid[order], len(uniq), width
+    )
+    win = np.full(doc_ids.size, -1, dtype=np.int64)
+    cov = np.zeros(doc_ids.size, dtype=np.int64)
+    win[best_rank] = best_start
+    cov[best_rank] = best_cov
+    return pa.table({
+        **out_base,
+        "win_start": pa.array(win, pa.int64()),
+        "n_terms": pa.array(cov, pa.int64()),
+    })
