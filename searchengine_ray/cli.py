@@ -17,6 +17,8 @@ import argparse
 import json
 import sys
 
+import pyarrow as pa
+
 
 def _add_index_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--documents", nargs="+", required=True,
@@ -94,11 +96,23 @@ def cmd_search(args) -> int:
         ranker=RankerType(args.ranker) if args.ranker else None,
         k=args.k, b=args.b, use_wand=args.wand,
     )
+
+    def _run(q: str) -> pa.Table:
+        if args.snippets:
+            res = s.search_snippets(q, args.n, width=args.snippet_width)
+            urls = s.urls_of(res["doc_id"].to_numpy(zero_copy_only=False))
+            return res.append_column("url", pa.array(urls, pa.string()))
+        return s.search(q, args.n)
+
+    def _show(row: dict) -> None:
+        extra = (f"  [win@{row['win_start']} covers {row['n_terms']}]"
+                 if "win_start" in row and row["win_start"] >= 0 else "")
+        print(f"{row['rank']:3d}  {row['score']:.6f}  "
+              f"{row['doc_id']}  {row['url']}{extra}")
+
     if args.query:
-        res = s.search(args.query, args.n)
-        for row in res.to_pylist():
-            print(f"{row['rank']:3d}  {row['score']:.6f}  "
-                  f"{row['doc_id']}  {row['url']}")
+        for row in _run(args.query).to_pylist():
+            _show(row)
         return 0
     # interactive loop (reference searcher.py:74-84: prompt, 'q' quits,
     # per-query latency reported like the reference's Efficiency stats)
@@ -119,11 +133,10 @@ def cmd_search(args) -> int:
         if not q or q.lower() == "q":
             break
         t0 = _time.perf_counter()
-        res = s.search(q, args.n)
+        res = _run(q)
         dt = _time.perf_counter() - t0
         for row in res.to_pylist():
-            print(f"{row['rank']:3d}  {row['score']:.6f}  "
-                  f"{row['doc_id']}  {row['url']}")
+            _show(row)
         print(f"# {res.num_rows} results in {dt * 1000:.2f} ms")
     return 0
 
@@ -336,6 +349,10 @@ def main(argv=None) -> int:
     ps.add_argument("--k", type=float, default=None)
     ps.add_argument("--b", type=float, default=None)
     ps.add_argument("--wand", action="store_true")
+    ps.add_argument("--snippets", action="store_true",
+                    help="attach best query-coverage window per result "
+                         "(positional index only)")
+    ps.add_argument("--snippet-width", type=int, default=8)
     pe = sub.add_parser("eval")
     pe.add_argument("--search-index", required=True)
     pe.add_argument("--queries", default=None)
