@@ -192,6 +192,16 @@ def _q_snippet_windows(sf_dir: str):
                            width=8, k=20)
 
 
+def _q_pmi_pairs(sf_dir: str):
+    """Document-level PMI collocations: bounded candidate vocabulary
+    (broadcast), per-batch distinct-pair combiners, quantized-ln
+    output (the lm.py float discipline)."""
+    from searchengine_ray.pipelines.cooccur import pmi_pairs
+
+    return pmi_pairs(_docs_ds(sf_dir), min_df=2, min_pairs=2, k=50,
+                     max_vocab=1000)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -930,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
+        "pmi_pairs": _q_pmi_pairs,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1075,6 +1086,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_terms DESC, win_start ASC) = 1) "
             "SELECT doc_id, win_start::BIGINT AS win_start, n_terms "
             "FROM best ORDER BY n_terms DESC, doc_id ASC LIMIT 20"
+        ),
+        "pmi_pairs": (
+            f"WITH toks AS ({toks}), "
+            "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            "df AS (SELECT term, count(*)::BIGINT AS df FROM dt "
+            "GROUP BY 1), "
+            "c AS (SELECT term, df FROM df WHERE df >= 2 "
+            "QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) "
+            "<= 1000), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+            "pairs AS (SELECT a.term AS term_a, b.term AS term_b, "
+            "count(*)::BIGINT AS n_ab FROM dt a "
+            "JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
+            "JOIN c ca ON ca.term = a.term "
+            "JOIN c cb ON cb.term = b.term "
+            "GROUP BY 1, 2 HAVING count(*) >= 2) "
+            "SELECT p.term_a, p.term_b, p.n_ab, "
+            "CAST(round(ln((p.n_ab * n.n)::DOUBLE / (ca.df * cb.df)) "
+            "* 1000000) AS BIGINT) AS pmi_q6 "
+            "FROM pairs p CROSS JOIN n "
+            "JOIN c ca ON ca.term = p.term_a "
+            "JOIN c cb ON cb.term = p.term_b "
+            "ORDER BY pmi_q6 DESC, p.term_a, p.term_b LIMIT 50"
         ),
         "top_bigrams": (
             "WITH base AS (SELECT doc_id, list_filter("

@@ -1,0 +1,88 @@
+"""pmi_pairs vs a naive pure-Python PMI over distinct doc-term pairs."""
+
+import math
+import re
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines.cooccur import pmi_pairs
+
+
+def _simple_toks(text: str) -> list[str]:
+    toks = re.sub(r"[^\w\s]", " ", text).lower().split()
+    return [t for t in toks if len(t) >= 2]
+
+
+def _naive(texts, min_df, min_pairs, k, max_vocab):
+    doc_terms = [set(_simple_toks(t)) for t in texts]
+    df = Counter()
+    for s in doc_terms:
+        df.update(s)
+    cand = sorted(((t, c) for t, c in df.items() if c >= min_df),
+                  key=lambda tc: (-tc[1], tc[0]))[:max_vocab]
+    cset = dict(cand)
+    n = len(texts)
+    nab = Counter()
+    for s in doc_terms:
+        for a, b in combinations(sorted(t for t in s if t in cset), 2):
+            nab[(a, b)] += 1
+    rows = []
+    for (a, b), c in nab.items():
+        if c < min_pairs:
+            continue
+        q = int(np.round(math.log((c * n) / (cset[a] * cset[b])) * 1e6))
+        rows.append((-q, a, b, c))
+    rows.sort()
+    return [{"term_a": a, "term_b": b, "n_ab": c, "pmi_q6": -negq}
+            for negq, a, b, c in rows[:k]]
+
+
+def _ds(texts):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_matches_naive():
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for i in range(120):
+        base = list(rng.choice(vocab, size=int(rng.integers(1, 7)),
+                               replace=False))
+        if i % 3 == 0:
+            base += ["pairx", "pairy"]        # a strong collocation
+        texts.append(" ".join(base))
+    got = pmi_pairs(_ds(texts), min_df=2, min_pairs=2, k=30,
+                    max_vocab=1000).to_pylist()
+    want = _naive(texts, 2, 2, 30, 1000)
+    assert got == want
+    assert got[0]["term_a"] == "pairx" and got[0]["term_b"] == "pairy"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_vocab_cap_and_thresholds():
+    texts = ["aa bb", "aa bb", "aa bb cc", "cc dd", "ee"]
+    # cap vocab to the 2 highest-df terms => only the (aa,bb) pair
+    got = pmi_pairs(_ds(texts), min_df=1, min_pairs=1, k=10,
+                    max_vocab=2).to_pylist()
+    assert got == _naive(texts, 1, 1, 10, 2)
+    assert [(r["term_a"], r["term_b"]) for r in got] == [("aa", "bb")]
+    # min_pairs filters singletons
+    got2 = pmi_pairs(_ds(texts), min_df=1, min_pairs=2, k=10,
+                     max_vocab=100).to_pylist()
+    assert got2 == _naive(texts, 1, 2, 10, 100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_empty_and_degenerate():
+    assert pmi_pairs(_ds(["aa", "bb"]), min_df=1, min_pairs=1).num_rows == 0
+    assert pmi_pairs(_ds(["", ""]), min_df=1, min_pairs=1).num_rows == 0
