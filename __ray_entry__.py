@@ -202,6 +202,21 @@ def _q_pmi_pairs(sf_dir: str):
                      max_vocab=1000)
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance scores vs the src0 domain: one tagged count
+    fold trains both unigram LMs, quantized ratio table broadcast
+    once, one shuffle-free scoring pass."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dsir import dsir_scores
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return dsir_scores(ds, target_value="src0")
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -941,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
         "pmi_pairs": _q_pmi_pairs,
+        "dsir_scores": _q_dsir_scores,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1109,6 +1125,33 @@ def oracle_sql() -> dict[str, str]:
             "JOIN c ca ON ca.term = p.term_a "
             "JOIN c cb ON cb.term = p.term_b "
             "ORDER BY pmi_q6 DESC, p.term_a, p.term_b LIMIT 50"
+        ),
+        "dsir_scores": (
+            "WITH base AS (SELECT doc_id, source, list_filter("
+            "regexp_split_to_array(lower(regexp_replace(text, "
+            f"'{pclass}', ' ', 'g')), '\\s+'), "
+            "t -> length(t) >= 2) AS toks FROM documents), "
+            "tk AS (SELECT doc_id, source, unnest(toks) AS term "
+            "FROM base), "
+            "tc AS (SELECT term, count(*)::BIGINT AS c FROM tk "
+            "WHERE source = 'src0' GROUP BY 1), "
+            "rc AS (SELECT term, count(*)::BIGINT AS c FROM tk "
+            "WHERE source <> 'src0' GROUP BY 1), "
+            "vocab AS (SELECT DISTINCT term FROM tk), "
+            "consts AS (SELECT (SELECT count(*) FROM vocab)::BIGINT "
+            "AS v, (SELECT coalesce(sum(c), 0) FROM tc)::BIGINT AS nt, "
+            "(SELECT coalesce(sum(c), 0) FROM rc)::BIGINT AS nr), "
+            "q AS (SELECT vb.term, CAST(round((ln((coalesce(t.c, 0) "
+            "+ 1)::DOUBLE / (cs.nt + cs.v)) - ln((coalesce(r.c, 0) "
+            "+ 1)::DOUBLE / (cs.nr + cs.v))) * 1000000) AS BIGINT) "
+            "AS q FROM vocab vb CROSS JOIN consts cs "
+            "LEFT JOIN tc t USING (term) LEFT JOIN rc r USING (term)), "
+            "s AS (SELECT tk.doc_id, count(*)::BIGINT AS n_tokens, "
+            "sum(q.q)::BIGINT AS sq FROM tk JOIN q USING (term) "
+            "GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT "
+            "AS n_tokens, coalesce(s.sq, 0)::BIGINT AS dsir_q6 "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "top_bigrams": (
             "WITH base AS (SELECT doc_id, list_filter("
