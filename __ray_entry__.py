@@ -217,6 +217,14 @@ def _q_dsir_scores(sf_dir: str):
     return dsir_scores(ds, target_value="src0")
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (SIGMOD'03) local fingerprints: doc-local stacked-
+    shift sliding min over FNV k-gram hashes; no shuffle."""
+    from searchengine_ray.pipelines.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs_ds(sf_dir), k=4, w=5)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -957,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": _q_snippet_windows,
         "pmi_pairs": _q_pmi_pairs,
         "dsir_scores": _q_dsir_scores,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1287,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = oracles.sql_multimodal_features()
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
+    out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["lsh_candidates"] = oracles.sql_lsh_candidates()
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(
