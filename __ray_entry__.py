@@ -225,6 +225,14 @@ def _q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(_docs_ds(sf_dir), k=4, w=5)
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """Overlap candidates: docs sharing >=2 winnowing fingerprints
+    (capped fp groupby + candidate-pair count, both bounded)."""
+    from searchengine_ray.pipelines.winnow import winnow_pairs
+
+    return winnow_pairs(_docs_ds(sf_dir), k=4, w=5, min_shared=2)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -966,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": _q_pmi_pairs,
         "dsir_scores": _q_dsir_scores,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "events_props_hist": _q_events_props_hist,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -1297,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
+    out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)
     out["lsh_candidates"] = oracles.sql_lsh_candidates()
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(

@@ -112,3 +112,76 @@ def winnow_fingerprints(docs_ds, k: int = 4, w: int = 5):
         fn_kwargs={"k": int(k), "w": int(w)},
         batch_format="pyarrow",
     )
+
+
+def _distinct_doc_fp_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp_i64) distinct — exact doc-locally (a doc never spans
+    batches), so the fp shuffle ships one row per (doc, fingerprint)."""
+    doc = np.asarray(batch["doc_id"], dtype=np.int64)
+    fp = np.asarray(batch["fp_i64"], dtype=np.int64)
+    comp = np.stack([doc, fp], axis=1)
+    uniq = np.unique(comp, axis=0)
+    return pa.table({"doc_id": pa.array(uniq[:, 0], pa.int64()),
+                     "fp_i64": pa.array(uniq[:, 1], pa.int64())})
+
+
+_EMPTY_PAIRS = pa.table({
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+    "truncated": pa.array([], pa.int32()),
+})
+
+
+def _fp_group_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+    docs = np.unique(np.asarray(group["doc_id"], dtype=np.int64))
+    truncated = docs.size > max_bucket
+    docs = docs[:max_bucket]
+    if docs.size < 2:
+        return _EMPTY_PAIRS
+    iu, ju = np.triu_indices(docs.size, k=1)
+    return pa.table({
+        "doc_a": pa.array(docs[iu], pa.int64()),
+        "doc_b": pa.array(docs[ju], pa.int64()),
+        "truncated": pa.array(
+            np.full(iu.size, int(truncated), np.int32), pa.int32()),
+    })
+
+
+def winnow_pairs(docs_ds, k: int = 4, w: int = 5, min_shared: int = 2,
+                 max_bucket: int = 200):
+    """→ Dataset (doc_a, doc_b, n_shared, truncated): document pairs
+    sharing at least ``min_shared`` winnowing fingerprints — the
+    overlap-candidate join the fingerprints exist for. Two keyed
+    shuffles, both bounded: the fingerprint groupby ships one row per
+    (doc, fp) with hot (boilerplate) fingerprints capped at
+    ``max_bucket`` docs (``truncated`` marks affected pairs, the LSH
+    convention), and the pair-count groupby ships candidate pairs
+    only. The result is materialized (pair-scale, the small side) so an
+    empty-candidate corpus still returns a typed schema (ADVICE r03
+    empty-block rule)."""
+    import ray.data
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    fps = winnow_fingerprints(docs_ds, k, w).map_batches(
+        _distinct_doc_fp_batch, batch_format="pyarrow")
+    pairs = fps.groupby("fp_i64").map_groups(
+        lambda g: _fp_group_pairs(g, max_bucket), batch_format="pyarrow")
+    def _finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["n_shared"], min_shared))
+        return b.set_column(                   # BIGINT for the contract
+            b.schema.get_field_index("truncated"), "truncated",
+            pc.cast(b["truncated"], pa.int64()))
+
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Max("truncated", alias_name="truncated"),
+    ).map_batches(_finish, batch_format="pyarrow").materialize()
+    if agg.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+            "truncated": pa.array([], pa.int64()),
+        }))
+    return agg

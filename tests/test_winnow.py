@@ -75,6 +75,45 @@ def test_winnow_matches_naive(texts, k, w):
     assert _got(texts, k, w) == _naive(texts, k, w)
 
 
+def _naive_pairs(texts, k, w, min_shared):
+    fps = {}
+    for d, p, fp in _naive(texts, k, w):
+        fps.setdefault(d, set()).add(fp)
+    out = []
+    docs = sorted(fps)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            n = len(fps[a] & fps[b])
+            if n >= min_shared:
+                out.append({"doc_a": a, "doc_b": b, "n_shared": n,
+                            "truncated": 0})
+    return out
+
+
+def test_winnow_pairs_match_naive(ray_session):
+    import ray
+
+    from searchengine_ray.pipelines.winnow import winnow_pairs
+
+    shared = "one two three four five six seven eight"
+    texts = [
+        f"{shared} tailone", f"{shared} tailtwo",     # heavy overlap
+        "three four five six unrelated",              # partial overlap
+        "zz yy xx ww vv",                             # none
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    k, w = 3, 4
+    for min_shared in (1, 2):
+        got = sorted(winnow_pairs(ds, k=k, w=w,
+                                  min_shared=min_shared).take_all(),
+                     key=lambda r: (r["doc_a"], r["doc_b"]))
+        assert got == _naive_pairs(texts, k, w, min_shared), min_shared
+    assert winnow_pairs(ds, k=k, w=w, min_shared=10_000).count() == 0
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint():
     """Two docs sharing a >= k+w-1 token run share a fingerprint value
     (the winnowing guarantee, SIGMOD'03 thm.)."""
