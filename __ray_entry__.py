@@ -346,6 +346,20 @@ def _q_lang_hist(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def _q_lang_top_terms(sf_dir: str):
+    """Per-language top-10 terms: combiner → bounded fold with an
+    exact per-bucket top-k prune → k×langs driver fold."""
+    import ray.data
+
+    from searchengine_ray.pipelines.analysis import lang_top_terms
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return lang_top_terms(ds, k=10)
+
+
 def _q_events_by_user(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -984,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_stats": _q_quality_stats,
         "lang_hist": _q_lang_hist,
+        "lang_top_terms": _q_lang_top_terms,
         "events_by_user": _q_events_by_user,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -1143,6 +1158,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN c ca ON ca.term = p.term_a "
             "JOIN c cb ON cb.term = p.term_b "
             "ORDER BY pmi_q6 DESC, p.term_a, p.term_b LIMIT 50"
+        ),
+        "lang_top_terms": (
+            "WITH base AS (SELECT lang, list_filter("
+            "regexp_split_to_array(lower(regexp_replace(text, "
+            f"'{pclass}', ' ', 'g')), '\\s+'), "
+            "t -> length(t) >= 2) AS toks FROM documents), "
+            "tk AS (SELECT lang, unnest(toks) AS term FROM base), "
+            "cf AS (SELECT lang, term, count(*)::BIGINT AS cf FROM tk "
+            "GROUP BY 1, 2) "
+            "SELECT lang, term, cf FROM cf "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY cf DESC, term ASC) <= 10"
         ),
         "dsir_scores": (
             "WITH base AS (SELECT doc_id, source, list_filter("

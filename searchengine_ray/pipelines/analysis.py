@@ -503,6 +503,61 @@ def token_quantiles(docs_ds, pcts=(25, 50, 75, 90, 99),
                      "dl_q": pa.array(out_v, pa.int64())})
 
 
+# -- per-language top-k terms ----------------------------------------------
+
+def lang_term_cf_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial (lang, term) collection frequencies."""
+    flat, parents = simple_tokens_flat(batch["text"])
+    t = pa.table({"lang": pc.take(batch["lang"], parents), "term": flat})
+    out = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+    return out.rename_columns(["lang", "term", "cf"])
+
+
+def _topk_per_lang(t: pa.Table, k: int, cf_col: str) -> pa.Table:
+    """Keep each language's top-k rows by (cf desc, term asc) —
+    vectorized: sort, then running index within lang runs."""
+    t = t.sort_by([("lang", "ascending"), (cf_col, "descending"),
+                   ("term", "ascending")])
+    if t.num_rows == 0:
+        return t
+    lang = t["lang"].to_numpy(zero_copy_only=False)
+    new = np.empty(len(lang), dtype=bool)
+    new[0] = True
+    new[1:] = lang[1:] != lang[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(lang)),
+                                               0))
+    rank = np.arange(len(lang)) - run_start
+    return t.filter(pa.array(rank < k))
+
+
+def lang_top_terms(docs_ds, k: int = 10, fold_mode: str = "auto") -> pa.Table:
+    """→ pa.Table (lang, term, cf): each language's top-k terms by
+    collection frequency (ties term-asc).
+
+    Scale path: per-batch (lang, term) combiners → bounded fold with a
+    PER-BUCKET top-k prune (exact: hash partitioning puts each
+    (lang, term)'s complete sum in one bucket, and any global top-k row
+    is also top-k within its bucket) → final k×langs-sized driver
+    top-k. Nothing vocabulary-sized reaches the driver on the
+    distributed path."""
+    from searchengine_ray.pipelines.fold import fold_count_partials
+
+    folded = fold_count_partials(
+        docs_ds.map_batches(lang_term_cf_partial_batch,
+                            batch_format="pyarrow"),
+        key_cols=["lang", "term"],
+        sum_col="cf",
+        bucket_col="term",
+        prune=lambda t: _topk_per_lang(t, k, "cf_sum"),
+        mode=fold_mode,
+        empty_result=pa.table({"lang": pa.array([], pa.string()),
+                               "term": pa.array([], pa.string()),
+                               "cf_sum": pa.array([], pa.int64())}),
+    )
+    return _topk_per_lang(folded, k, "cf_sum").rename_columns(
+        ["lang", "term", "cf"])
+
+
 # -- heavy hitters (two-pass exact top-k via Misra-Gries sketches) ---------
 
 # Whitespace can never survive tokenization, so this key cannot collide

@@ -103,6 +103,47 @@ def test_heavy_hitters_exact_both_paths():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lang_top_terms_matches_naive_both_fold_modes():
+    """Per-language top-k, driver AND distributed folds (the latter
+    exercises the exact per-bucket top-k prune)."""
+    import ray
+
+    from searchengine_ray.pipelines.analysis import lang_top_terms
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "de", "fr"]
+    vocab = [f"w{i:02d}" for i in range(20)]
+    texts, lang_col = [], []
+    for i in range(150):
+        lang = langs[i % 3]
+        # language-skewed frequencies so top-10 differs per lang
+        w = np.roll(np.arange(len(vocab), 0, -1, dtype=float),
+                    langs.index(lang) * 7)
+        texts.append(" ".join(rng.choice(vocab, size=20, p=w / w.sum())))
+        lang_col.append(lang)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang_col, pa.string()),
+    })).repartition(6)
+
+    cf = Counter()
+    for t, lg in zip(texts, lang_col):
+        for term in _simple_toks(t):
+            cf[(lg, term)] += 1
+    want = []
+    for lg in sorted(langs):
+        rows = sorted(((t, c) for (l2, t), c in cf.items() if l2 == lg),
+                      key=lambda tc: (-tc[1], tc[0]))[:10]
+        want += [{"lang": lg, "term": t, "cf": c} for t, c in rows]
+
+    for mode in ("driver", "distributed"):
+        got = sorted(lang_top_terms(ds, k=10, fold_mode=mode).to_pylist(),
+                     key=lambda r: (r["lang"], -r["cf"], r["term"]))
+        assert got == want, mode
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_heavy_hitters_fewer_terms_than_k():
     import ray
 
