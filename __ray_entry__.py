@@ -233,6 +233,20 @@ def _q_winnow_pairs(sf_dir: str):
     return winnow_pairs(_docs_ds(sf_dir), k=4, w=5, min_shared=2)
 
 
+def _q_dsir_select(sf_dir: str):
+    """Exact top-50 most-src0-like docs: per-batch top-k prune over
+    the DSIR scores, k x n_blocks driver fold."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dsir import dsir_select
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return dsir_select(ds, target_value="src0", k=50)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -987,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": _q_snippet_windows,
         "pmi_pairs": _q_pmi_pairs,
         "dsir_scores": _q_dsir_scores,
+        "dsir_select": _q_dsir_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "events_props_hist": _q_events_props_hist,
@@ -1334,6 +1349,10 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)
+    out["dsir_select"] = (
+        f"SELECT * FROM ({out['dsir_scores']}) "
+        "ORDER BY dsir_q6 DESC, doc_id ASC LIMIT 50"
+    )
     out["lsh_candidates"] = oracles.sql_lsh_candidates()
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(

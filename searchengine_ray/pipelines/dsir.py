@@ -162,3 +162,34 @@ def dsir_scores(docs_ds, target_value: str, target_col: str = "source",
         batch_format="pyarrow",
         concurrency=concurrency or autoscale_concurrency(),
     )
+
+
+def _topk_batch(batch: pa.Table, k: int) -> pa.Table:
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sc = batch["dsir_q6"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((doc, -sc))[:k]
+    return batch.take(pa.array(np.sort(top), pa.int64()))
+
+
+def dsir_select(docs_ds, target_value: str, k: int = 50,
+                target_col: str = "source", **kw) -> pa.Table:
+    """→ pa.Table (doc_id, n_tokens, dsir_q6): the k most target-like
+    documents by (score desc, doc_id asc) — exact top-k selection on
+    the DSIR scores. Each batch prunes to its local top-k, so the
+    driver folds k × n_blocks rows (the cosine_topk pattern); k must
+    therefore be driver-bounded — for keep-a-FRACTION selection at
+    100 TB, compute a score threshold from a histogram instead and
+    filter shuffle-free."""
+    parts = dsir_scores(docs_ds, target_value, target_col, **kw) \
+        .map_batches(_topk_batch, fn_kwargs={"k": int(k)},
+                     batch_format="pyarrow").take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "dsir_q6": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    t = pa.Table.from_pylist(parts, schema=empty.schema)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    sc = t["dsir_q6"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((doc, -sc))[:k]
+    return t.take(pa.array(top, pa.int64()))

@@ -73,6 +73,19 @@ def test_dsir_matches_naive_and_partitioning_invariant():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dsir_select_topk():
+    from searchengine_ray.pipelines.dsir import dsir_select
+
+    want = sorted(_naive(TEXTS, SOURCES, "wiki"),
+                  key=lambda r: (-r["dsir_q6"], r["doc_id"]))[:3]
+    got = dsir_select(_ds(TEXTS, SOURCES), target_value="wiki",
+                      k=3).to_pylist()
+    assert got == want
+    assert dsir_select(_ds(TEXTS, SOURCES), target_value="wiki",
+                       k=100).num_rows == len(TEXTS)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dsir_min_count_floors_to_oov():
     vocab, q, q_oov = dsir_train(_ds(TEXTS, SOURCES),
                                  target_value="wiki", min_count=3)
