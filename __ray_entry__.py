@@ -40,6 +40,7 @@ SEARCH_QUERIES = [
 K1, B = 1.2, 0.75
 TOPK = 10
 FUZZY_QUERY_TERMS = ["qurey", "scann", "jion", "windw"]  # typos of vocab terms
+BOOL_EXPR = "(fast OR spark) AND merge NOT join"
 
 _STOP_SQL_LIST = "['the','and','of','to','in','is','it','on','for','as']"
 
@@ -245,6 +246,14 @@ def _q_dsir_select(sf_dir: str):
         columns=["doc_id", "text", "source"],
     )
     return dsir_select(ds, target_value="src0", k=50)
+
+
+def _q_boolean_expr(sf_dir: str):
+    """Boolean AND/OR/NOT retrieval (doc-local membership bitmaps,
+    shuffle-free; the SQL oracle is generated from the same AST)."""
+    from searchengine_ray.query.boolexpr import boolean_search
+
+    return boolean_search(_docs_ds(sf_dir), BOOL_EXPR)
 
 
 def _q_top_bigrams(sf_dir: str):
@@ -999,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
+        "boolean_expr": _q_boolean_expr,
         "pmi_pairs": _q_pmi_pairs,
         "dsir_scores": _q_dsir_scores,
         "dsir_select": _q_dsir_select,
@@ -1352,6 +1362,13 @@ def oracle_sql() -> dict[str, str]:
     out["dsir_select"] = (
         f"SELECT * FROM ({out['dsir_scores']}) "
         "ORDER BY dsir_q6 DESC, doc_id ASC LIMIT 50"
+    )
+    from searchengine_ray.query.boolexpr import parse, to_sql_condition
+
+    out["boolean_expr"] = (
+        f"WITH base AS ({toks_base}) "
+        "SELECT doc_id::BIGINT AS doc_id FROM base "
+        f"WHERE {to_sql_condition(parse(BOOL_EXPR))}"
     )
     out["lsh_candidates"] = oracles.sql_lsh_candidates()
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)

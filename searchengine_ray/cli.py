@@ -98,6 +98,15 @@ def cmd_search(args) -> int:
     )
 
     def _run(q: str) -> pa.Table:
+        if args.boolean:
+            res = s.search_boolean_expr(q, args.n)
+            ids = res["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "rank": pa.array(range(1, len(ids) + 1), pa.int32()),
+                "doc_id": res["doc_id"],
+                "score": pa.array([1.0] * len(ids), pa.float64()),
+                "url": pa.array(s.urls_of(ids), pa.string()),
+            })
         if args.snippets:
             res = s.search_snippets(q, args.n, width=args.snippet_width)
             urls = s.urls_of(res["doc_id"].to_numpy(zero_copy_only=False))
@@ -353,6 +362,9 @@ def main(argv=None) -> int:
                     help="attach best query-coverage window per result "
                          "(positional index only)")
     ps.add_argument("--snippet-width", type=int, default=8)
+    ps.add_argument("--boolean", action="store_true",
+                    help="treat the query as a boolean AND/OR/NOT "
+                         "expression (returns matching docs, unranked)")
     pe = sub.add_parser("eval")
     pe.add_argument("--search-index", required=True)
     pe.add_argument("--queries", default=None)

@@ -1,0 +1,230 @@
+"""Boolean expression queries: ``(fast OR spark) AND merge NOT join``.
+
+The reference engine's boolean postings answer bag-of-terms queries
+only (raw ranker); this adds the classic boolean retrieval operators
+(Manning/Raghavan/Schütze IR ch. 1) on top of the same index:
+
+- grammar (case-sensitive keywords):
+    expr := and_expr ('OR' and_expr)*
+    and_expr := unary (('AND' | 'NOT')? unary)*   # juxtaposition = AND,
+                                                  # 'a NOT b' = a AND NOT b
+    unary := 'NOT' unary | '(' expr ')' | term
+  terms run through the index's own tokenizer (stem/stop/minlen); a
+  term that tokenizes to several tokens becomes their AND; a term that
+  tokenizes to nothing (e.g. a stop word) matches nothing.
+
+- index-side evaluation (``evaluate_index`` / Searcher.search_boolean_expr):
+  posting doc-id arrays are sorted+unique, so AND/OR/NOT are
+  np.intersect1d / union1d / setdiff1d. A top-level NOT needs the doc
+  universe — read once from the docmap fragments and cached; at
+  10^12 docs a complement is inherently corpus-sized, so prefer
+  'a NOT b' (difference) forms, which never materialize the universe
+  unless a branch is a bare negation.
+
+- corpus-side evaluation (``boolean_search``): doc-local membership
+  bitmaps per distinct term (one vectorized index_in pass), combined
+  with numpy logical ops — one shuffle-free map_batches; the SQL twin
+  (``to_sql_condition``) is generated from the same AST so the oracle
+  and the engine cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+class BoolParseError(ValueError):
+    pass
+
+
+def parse(expr: str):
+    """→ AST of ('term', str) | ('and'|'or', l, r) | ('not', x)."""
+    toks = _TOKEN_RE.findall(expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise BoolParseError("unexpected end of expression")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "OR":
+            take()
+            node = ("or", node, parse_and())
+        return node
+
+    def parse_and():
+        node = parse_unary()
+        while peek() is not None and peek() not in ("OR", ")"):
+            if peek() == "AND":
+                take()
+                rhs = parse_unary()
+            elif peek() == "NOT":
+                take()
+                rhs = ("not", parse_unary())
+            else:
+                rhs = parse_unary()
+            node = ("and", node, rhs)
+        return node
+
+    def parse_unary():
+        t = peek()
+        if t is None:
+            raise BoolParseError("unexpected end of expression")
+        if t == "NOT":
+            take()
+            return ("not", parse_unary())
+        if t == "(":
+            take()
+            node = parse_or()
+            if take() != ")":
+                raise BoolParseError("missing ')'")
+            return node
+        if t in ("AND", "OR", ")"):
+            raise BoolParseError(f"unexpected {t!r}")
+        return ("term", take())
+
+    node = parse_or()
+    if pos != len(toks):
+        raise BoolParseError(f"trailing input at {toks[pos]!r}")
+    return node
+
+
+def ast_terms(node) -> list[str]:
+    if node[0] == "term":
+        return [node[1]]
+    if node[0] == "not":
+        return ast_terms(node[1])
+    return ast_terms(node[1]) + ast_terms(node[2])
+
+
+def _tokenize_ast(node, tokenize):
+    """Rewrite raw terms through the index tokenizer: multi-token →
+    AND chain; empty (stopword) → ('none',)."""
+    if node[0] == "term":
+        toks = tokenize(node[1])
+        if not toks:
+            return ("none",)
+        out = ("term", toks[0])
+        for t in toks[1:]:
+            out = ("and", out, ("term", t))
+        return out
+    if node[0] == "not":
+        return ("not", _tokenize_ast(node[1], tokenize))
+    return (node[0], _tokenize_ast(node[1], tokenize),
+            _tokenize_ast(node[2], tokenize))
+
+
+def evaluate_index(searcher, expr: str, n: int | None = None) -> pa.Table:
+    """→ pa.Table (doc_id,) ascending (first n if given): docs
+    satisfying the boolean expression, evaluated on posting lists."""
+    ast = _tokenize_ast(parse(expr), searcher.tokenizer.tokenize)
+    recs = searcher.reader.fetch(sorted(set(ast_terms(ast))))
+    universe: dict[str, np.ndarray] = {}
+
+    def _universe() -> np.ndarray:
+        if "u" not in universe:
+            ids = searcher.all_doc_ids()
+            universe["u"] = ids
+        return universe["u"]
+
+    def ev(node) -> np.ndarray:
+        kind = node[0]
+        if kind == "none":
+            return np.empty(0, np.int64)
+        if kind == "term":
+            r = recs.get(node[1])
+            return (np.empty(0, np.int64) if r is None
+                    else r.doc_ids.astype(np.int64))
+        if kind == "not":
+            return np.setdiff1d(_universe(), ev(node[1]),
+                                assume_unique=True)
+        a, b = ev(node[1]), ev(node[2])
+        if kind == "and":
+            # 'x AND NOT y' evaluates as a difference — no universe
+            if node[2][0] == "not":
+                return np.setdiff1d(a, ev(node[2][1]), assume_unique=True)
+            return np.intersect1d(a, b, assume_unique=True)
+        return np.union1d(a, b)
+
+    ids = ev(ast)
+    if n is not None:
+        ids = ids[:n]
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+# -- corpus-side (contract) evaluation --------------------------------------
+
+def _membership_eval(node, member: dict[str, np.ndarray],
+                     n: int) -> np.ndarray:
+    kind = node[0]
+    if kind == "none":
+        return np.zeros(n, dtype=bool)
+    if kind == "term":
+        return member[node[1]]
+    if kind == "not":
+        return ~_membership_eval(node[1], member, n)
+    a = _membership_eval(node[1], member, n)
+    b = _membership_eval(node[2], member, n)
+    return (a & b) if kind == "and" else (a | b)
+
+
+def boolean_search_batch(batch: pa.Table, ast) -> pa.Table:
+    from searchengine_ray.pipelines.analysis import simple_tokens_flat
+
+    n = batch.num_rows
+    terms = sorted(set(ast_terms(ast)))
+    flat, parents = simple_tokens_flat(batch["text"])
+    par = np.asarray(parents, dtype=np.int64)
+    tid = np.asarray(
+        pc.fill_null(pc.index_in(flat, value_set=pa.array(terms)), -1),
+        dtype=np.int64,
+    )
+    member = {}
+    for i, t in enumerate(terms):
+        hit = np.zeros(n, dtype=bool)
+        hit[par[tid == i]] = True
+        member[t] = hit
+    keep = _membership_eval(ast, member, n)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"].filter(pa.array(keep)),
+                          pa.int64()),
+    })
+
+
+def boolean_search(docs_ds, expr: str):
+    """→ Dataset (doc_id,): docs whose simple-token set satisfies the
+    expression — doc-local membership bitmaps, one shuffle-free pass
+    (NOT is doc-local here, no universe materialization)."""
+    ast = parse(expr)
+    return docs_ds.map_batches(
+        boolean_search_batch, fn_kwargs={"ast": ast},
+        batch_format="pyarrow",
+    )
+
+
+def to_sql_condition(node) -> str:
+    """The AST as a DuckDB predicate over a ``toks`` list column —
+    generated from the same parse the engine evaluates, so oracle and
+    engine cannot drift."""
+    kind = node[0]
+    if kind == "term":
+        return f"list_contains(toks, '{node[1]}')"
+    if kind == "not":
+        return f"(NOT {to_sql_condition(node[1])})"
+    op = "AND" if kind == "and" else "OR"
+    return (f"({to_sql_condition(node[1])} {op} "
+            f"{to_sql_condition(node[2])})")

@@ -137,6 +137,31 @@ class Searcher:
 
         return phrase_search(self, query, n or self.cfg.default_top_k)
 
+    def search_boolean_expr(self, expr: str,
+                            n: int | None = None) -> pa.Table:
+        """Boolean AND/OR/NOT retrieval over the posting lists →
+        (doc_id,) ascending; see query/boolexpr.py (a bare NOT branch
+        reads the doc universe once — prefer 'a NOT b' forms)."""
+        from searchengine_ray.query.boolexpr import evaluate_index
+
+        return evaluate_index(self, expr, n)
+
+    def all_doc_ids(self) -> np.ndarray:
+        """Sorted unique doc-id universe, read once from the docmap
+        fragments (footer-pruned columnar reads) and cached — only
+        needed by bare-NOT boolean branches."""
+        if getattr(self, "_all_doc_ids", None) is None:
+            import glob
+            import os
+
+            files = sorted(glob.glob(
+                os.path.join(self.index_dir, "tokenized", "*.parquet")))
+            parts = [pq.read_table(f, columns=["doc_id"])["doc_id"]
+                     .to_numpy(zero_copy_only=False) for f in files]
+            self._all_doc_ids = (np.unique(np.concatenate(parts))
+                                 if parts else np.empty(0, np.int64))
+        return self._all_doc_ids
+
     def search_snippets(self, query: str, n: int | None = None,
                         width: int = 8) -> pa.Table:
         """Top-n results with their best query-coverage window straight

@@ -1,0 +1,90 @@
+"""Boolean expression retrieval: parser edge cases, corpus-side vs
+naive, and index-side vs corpus-side agreement on the same corpus."""
+
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.query.boolexpr import (
+    BoolParseError,
+    boolean_search_batch,
+    parse,
+)
+
+TEXTS = [
+    "fast spark merge",          # 0
+    "fast merge join",           # 1
+    "spark merge",               # 2
+    "fast join",                 # 3
+    "merge",                     # 4
+    "slow scan",                 # 5
+    "fast spark merge join",     # 6
+]
+
+
+def _simple_toks(text):
+    toks = re.sub(r"[^\w\s]", " ", text).lower().split()
+    return {t for t in toks if len(t) >= 2}
+
+
+def _naive(expr, texts):
+    ast = parse(expr)
+
+    def ev(node, s):
+        if node[0] == "term":
+            return node[1] in s
+        if node[0] == "not":
+            return not ev(node[1], s)
+        a, b = ev(node[1], s), ev(node[2], s)
+        return (a and b) if node[0] == "and" else (a or b)
+
+    return [d for d, t in enumerate(texts) if ev(ast, _simple_toks(t))]
+
+
+EXPRS = [
+    "(fast OR spark) AND merge NOT join",
+    "fast spark",                        # juxtaposition = AND
+    "NOT (fast OR spark OR merge)",      # pure complement
+    "merge NOT (fast AND join)",
+    "fast AND NOT join OR spark",
+]
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_corpus_side_matches_naive(expr):
+    batch = pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    })
+    got = boolean_search_batch(batch, parse(expr))["doc_id"].to_pylist()
+    assert got == _naive(expr, TEXTS), expr
+
+
+def test_parser_errors():
+    for bad in ["", "AND fast", "fast OR", "(fast", "fast)", "fast ) x"]:
+        with pytest.raises(BoolParseError):
+            parse(bad)
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_index_side_matches_corpus_side(ray_session, tmp_path, expr):
+    from searchengine_ray.build.pipeline import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query.engine import Searcher
+
+    sub = tmp_path / re.sub(r"\W", "_", expr)[:30]
+    sub.mkdir()
+    src = str(sub / "pages.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://t/{i}" for i in range(len(TEXTS))]),
+        "text": pa.array(TEXTS, pa.string()),
+    }), src)
+    idx = str(sub / "idx")
+    build_index(src, idx, IndexConfig(
+        num_shards=2, use_stop_words=False, min_token_length=2,
+        language=None,
+    ))
+    got = Searcher(idx).search_boolean_expr(expr)["doc_id"].to_pylist()
+    assert got == _naive(expr, TEXTS), expr
