@@ -1158,8 +1158,11 @@ def oracle_sql() -> dict[str, str]:
             "best AS (SELECT doc_id, win_start, n_terms FROM wins "
             "QUALIFY row_number() OVER (PARTITION BY doc_id "
             "ORDER BY n_terms DESC, win_start ASC) = 1) "
-            "SELECT doc_id, win_start::BIGINT AS win_start, n_terms "
-            "FROM best ORDER BY n_terms DESC, doc_id ASC LIMIT 20"
+            "SELECT b.doc_id, b.win_start::BIGINT AS win_start, "
+            "b.n_terms, array_to_string(list_slice(bs.toks, "
+            "b.win_start + 1, b.win_start + 8), ' ') AS snippet "
+            "FROM best b JOIN base bs ON bs.doc_id = b.doc_id "
+            "ORDER BY b.n_terms DESC, b.doc_id ASC LIMIT 20"
         ),
         "pmi_pairs": (
             f"WITH toks AS ({toks}), "

@@ -29,6 +29,7 @@ _EMPTY = pa.table({
     "doc_id": pa.array([], pa.int64()),
     "win_start": pa.array([], pa.int64()),
     "n_terms": pa.array([], pa.int64()),
+    "snippet": pa.array([], pa.string()),
 })
 
 # Composite coordinate stride: windows never cross documents because
@@ -90,10 +91,28 @@ def snippet_windows_batch(
     doc_ids = np.asarray(batch["doc_id"], dtype=np.int64)[best_par]
     # batch-local top-k prune
     top = np.lexsort((doc_ids, -best_cov))[:k]
+    best_par, best_start, best_cov = best_par[top], best_start[top], \
+        best_cov[top]
+    # snippet text: gather the window's tokens and join — one ragged
+    # take + one binary_join, no per-row loop
+    counts = np.diff(np.append(seg_start, len(par)))
+    row_of_seg = par[seg_start]                    # parent row per segment
+    seg_of_par = np.full(int(par.max()) + 1, -1, dtype=np.int64)
+    seg_of_par[row_of_seg] = np.arange(len(seg_start))
+    seg_idx = seg_of_par[best_par]
+    lens = np.minimum(width, counts[seg_idx] - best_start)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat_idx = (np.repeat(seg_start[seg_idx] + best_start, lens)
+                + np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens))
+    toks = flat.take(pa.array(flat_idx, pa.int64()))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks)
     return pa.table({
         "doc_id": pa.array(doc_ids[top], pa.int64()),
-        "win_start": pa.array(best_start[top], pa.int64()),
-        "n_terms": pa.array(best_cov[top], pa.int64()),
+        "win_start": pa.array(best_start, pa.int64()),
+        "n_terms": pa.array(best_cov, pa.int64()),
+        "snippet": pc.binary_join(lists, " "),
     })
 
 

@@ -36,8 +36,10 @@ def _naive(texts, width, k):
             if best is None or cov > best[1]:
                 best = (p, cov)
         if best is not None:
-            rows.append({"doc_id": d, "win_start": best[0],
-                         "n_terms": best[1]})
+            rows.append({
+                "doc_id": d, "win_start": best[0], "n_terms": best[1],
+                "snippet": " ".join(toks[best[0]:best[0] + width]),
+            })
     rows.sort(key=lambda r: (-r["n_terms"], r["doc_id"]))
     return rows[:k]
 
