@@ -256,6 +256,15 @@ def _q_boolean_expr(sf_dir: str):
     return boolean_search(_docs_ds(sf_dir), BOOL_EXPR)
 
 
+def _q_query_expansion(sf_dir: str):
+    """PMI query expansion: each query term's top-3 most-associated
+    corpus terms (pmi pipeline restricted on the driver)."""
+    from searchengine_ray.pipelines.cooccur import expand_query
+
+    return expand_query(_docs_ds(sf_dir), BM25_QUERY_TERMS, k=3,
+                        min_df=2, min_pairs=2, max_vocab=1000)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippet_windows": _q_snippet_windows,
         "boolean_expr": _q_boolean_expr,
         "pmi_pairs": _q_pmi_pairs,
+        "query_expansion": _q_query_expansion,
         "dsir_scores": _q_dsir_scores,
         "dsir_select": _q_dsir_select,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1089,6 +1099,28 @@ def oracle_sql() -> dict[str, str]:
         f"lower(regexp_replace(text, '{pclass}', ' ', 'g')), '\\s+'), "
         "t -> length(t) >= 2)) AS term FROM documents"
     )
+    pmi_core = (
+        f"WITH toks AS ({toks}), "
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM dt "
+        "GROUP BY 1), "
+        "c AS (SELECT term, df FROM df WHERE df >= 2 "
+        "QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) "
+        "<= 1000), "
+        "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+        "pairs AS (SELECT a.term AS term_a, b.term AS term_b, "
+        "count(*)::BIGINT AS n_ab FROM dt a "
+        "JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
+        "JOIN c ca ON ca.term = a.term "
+        "JOIN c cb ON cb.term = b.term "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "scored AS (SELECT p.term_a, p.term_b, p.n_ab, "
+        "CAST(round(ln((p.n_ab * n.n)::DOUBLE / (ca.df * cb.df)) "
+        "* 1000000) AS BIGINT) AS pmi_q6 "
+        "FROM pairs p CROSS JOIN n "
+        "JOIN c ca ON ca.term = p.term_a "
+        "JOIN c cb ON cb.term = p.term_b)"
+    )
     toks_base = (
         "SELECT doc_id, list_filter(regexp_split_to_array("
         f"lower(regexp_replace(text, '{pclass}', ' ', 'g')), '\\s+'), "
@@ -1165,27 +1197,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY b.n_terms DESC, b.doc_id ASC LIMIT 20"
         ),
         "pmi_pairs": (
-            f"WITH toks AS ({toks}), "
-            "dt AS (SELECT DISTINCT doc_id, term FROM toks), "
-            "df AS (SELECT term, count(*)::BIGINT AS df FROM dt "
-            "GROUP BY 1), "
-            "c AS (SELECT term, df FROM df WHERE df >= 2 "
-            "QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) "
-            "<= 1000), "
-            "n AS (SELECT count(*)::BIGINT AS n FROM documents), "
-            "pairs AS (SELECT a.term AS term_a, b.term AS term_b, "
-            "count(*)::BIGINT AS n_ab FROM dt a "
-            "JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
-            "JOIN c ca ON ca.term = a.term "
-            "JOIN c cb ON cb.term = b.term "
-            "GROUP BY 1, 2 HAVING count(*) >= 2) "
-            "SELECT p.term_a, p.term_b, p.n_ab, "
-            "CAST(round(ln((p.n_ab * n.n)::DOUBLE / (ca.df * cb.df)) "
-            "* 1000000) AS BIGINT) AS pmi_q6 "
-            "FROM pairs p CROSS JOIN n "
-            "JOIN c ca ON ca.term = p.term_a "
-            "JOIN c cb ON cb.term = p.term_b "
-            "ORDER BY pmi_q6 DESC, p.term_a, p.term_b LIMIT 50"
+            f"{pmi_core} "
+            "SELECT term_a, term_b, n_ab, pmi_q6 FROM scored "
+            "ORDER BY pmi_q6 DESC, term_a, term_b LIMIT 50"
+        ),
+        "query_expansion": (
+            f"{pmi_core}, "
+            "q(qterm) AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS) + ")), "
+            "cand AS (SELECT q.qterm, CASE WHEN s.term_a = q.qterm "
+            "THEN s.term_b ELSE s.term_a END AS term, s.pmi_q6 "
+            "FROM q JOIN scored s "
+            "ON s.term_a = q.qterm OR s.term_b = q.qterm) "
+            "SELECT qterm, term, pmi_q6 FROM cand "
+            "QUALIFY row_number() OVER (PARTITION BY qterm "
+            "ORDER BY pmi_q6 DESC, term ASC) <= 3"
         ),
         "lang_top_terms": (
             "WITH base AS (SELECT lang, list_filter("

@@ -181,3 +181,35 @@ def pmi_pairs(
         "n_ab": pa.array([r[3] for r in rows[:k]], pa.int64()),
         "pmi_q6": pa.array([-r[0] for r in rows[:k]], pa.int64()),
     })
+
+
+def expand_query(docs_ds, query_terms: list[str], k: int = 3,
+                 min_df: int = 2, min_pairs: int = 2,
+                 max_vocab: int = 100_000, **kw) -> pa.Table:
+    """→ pa.Table (qterm, term, pmi_q6): PMI query expansion — for each
+    query term, the top-``k`` most-associated corpus terms (ties term
+    asc). Runs the pmi_pairs pipeline with an UNCAPPED pair list
+    (k=all) restricted to pairs touching a query term, then picks each
+    query term's best partners on the driver (q×k rows)."""
+    qset = {q.lower() for q in query_terms}
+    pairs = pmi_pairs(docs_ds, min_df=min_df, min_pairs=min_pairs,
+                      k=2**31 - 1, max_vocab=max_vocab, **kw)
+    best: dict[str, list] = {q: [] for q in sorted(qset)}
+    for ta, tb, q6 in zip(pairs["term_a"].to_pylist(),
+                          pairs["term_b"].to_pylist(),
+                          pairs["pmi_q6"].to_pylist()):
+        if ta in qset:
+            best[ta].append((-q6, tb))
+        if tb in qset:
+            best[tb].append((-q6, ta))
+    out_q, out_t, out_p = [], [], []
+    for q in sorted(best):
+        for negq6, t in sorted(best[q])[:k]:
+            out_q.append(q)
+            out_t.append(t)
+            out_p.append(-negq6)
+    return pa.table({
+        "qterm": pa.array(out_q, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "pmi_q6": pa.array(out_p, pa.int64()),
+    })

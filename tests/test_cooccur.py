@@ -83,6 +83,26 @@ def test_pmi_vocab_cap_and_thresholds():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_expand_query_matches_naive():
+    from searchengine_ray.pipelines.cooccur import expand_query
+
+    texts = (["pairx pairy aa"] * 10 + ["pairx bb"] * 5
+             + ["aa bb cc"] * 8 + ["cc dd"] * 4)
+    got = expand_query(_ds(texts), ["pairx", "cc", "missing"], k=2,
+                       min_df=1, min_pairs=1, max_vocab=100).to_pylist()
+    pairs = _naive(texts, 1, 1, 10**9, 100)
+    want = []
+    for q in sorted({"pairx", "cc", "missing"}):
+        cands = sorted(
+            (-p["pmi_q6"], p["term_b"] if p["term_a"] == q
+             else p["term_a"])
+            for p in pairs if q in (p["term_a"], p["term_b"]))[:2]
+        want += [{"qterm": q, "term": t, "pmi_q6": -nq} for nq, t in cands]
+    assert got == want
+    assert not any(r["qterm"] == "missing" for r in got)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pmi_empty_and_degenerate():
     assert pmi_pairs(_ds(["aa", "bb"]), min_df=1, min_pairs=1).num_rows == 0
     assert pmi_pairs(_ds(["", ""]), min_df=1, min_pairs=1).num_rows == 0
