@@ -27,7 +27,7 @@ DataContext.get_current().enable_progress_bars = False
 
 import __ray_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
