@@ -392,6 +392,19 @@ def _q_lang_top_terms(sf_dir: str):
     return lang_top_terms(ds, k=10)
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Exact quantiles of the unbounded events.value column via the
+    pivot-selection algorithm (3 passes, no global sort)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return exact_quantiles(ds, "value")
+
+
 def _q_events_by_user(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1014,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "top_bigrams": _q_top_bigrams,
         "token_quantiles": _q_token_quantiles,
+        "value_quantiles": _q_value_quantiles,
         "heavy_hitters": _q_heavy_hitters,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
@@ -1162,6 +1176,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS ({toks}) "
             "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
             "ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "value_quantiles": (
+            "SELECT 25::BIGINT AS pct, "
+            "quantile_disc(value, 0.25)::DOUBLE AS v_q FROM events "
+            "UNION ALL SELECT 50, quantile_disc(value, 0.50) FROM events "
+            "UNION ALL SELECT 75, quantile_disc(value, 0.75) FROM events "
+            "UNION ALL SELECT 90, quantile_disc(value, 0.90) FROM events "
+            "UNION ALL SELECT 99, quantile_disc(value, 0.99) FROM events"
         ),
         "fuzzy_suggest": (
             f"WITH toks AS ({toks}), "
