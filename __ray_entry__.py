@@ -855,6 +855,15 @@ def _q_lm_perplexity(sf_dir: str):
     return bigram_lm_score(_docs_ds(sf_dir), add_k=LM_ADD_K)
 
 
+def _q_lm_quality_filter(sf_dir: str):
+    """Drop the worst 10% by average bigram log-prob — exact global
+    percentile threshold via the pivot-selection quantile op."""
+    from searchengine_ray.pipelines.lm import lm_quality_filter
+
+    return lm_quality_filter(_docs_ds(sf_dir), drop_pct=10,
+                             add_k=LM_ADD_K)
+
+
 CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
 
 
@@ -1082,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "span_dedup": _q_span_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_quality_filter": _q_lm_quality_filter,
         "search_tfidf": _q_search_tfidf,
         "search_bm25_positional": _q_search_bm25_positional,
         "minhash_pairs": _q_minhash_pairs,
@@ -1505,6 +1515,14 @@ def oracle_sql() -> dict[str, str]:
     )
     out["span_dedup"] = oracles.sql_span_dedup(SPAN_TOKENS)
     out["lm_perplexity"] = oracles.sql_bigram_lm(pclass, LM_ADD_K)
+    out["lm_quality_filter"] = (
+        f"WITH s AS ({oracles.sql_bigram_lm(pclass, LM_ADD_K)}), "
+        "a AS (SELECT doc_id, n_bigrams, logprob_q6, "
+        "logprob_q6 / n_bigrams AS avg FROM s WHERE n_bigrams > 0), "
+        "t AS (SELECT quantile_disc(avg, 0.10) AS thr FROM a) "
+        "SELECT doc_id, n_bigrams, logprob_q6 FROM a, t "
+        "WHERE a.avg >= t.thr"
+    )
     out["search_tfidf"] = oracles.sql_search_tfidf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )

@@ -196,3 +196,48 @@ def bigram_lm_score(docs_ds, train_ds=None, add_k: float = 0.5,
         batch_format="pyarrow",
         concurrency=concurrency or autoscale_concurrency(),
     )
+
+
+def lm_quality_filter(docs_ds, drop_pct: int = 10, add_k: float = 0.5,
+                      min_count: int = 1, fold_mode: str = "auto"):
+    """→ Dataset (doc_id, n_bigrams, logprob_q6): the corpus with its
+    worst ``drop_pct`` percent dropped by average bigram log-prob —
+    the CCNet-style perplexity-bucket filter with an EXACT global
+    threshold at any scale.
+
+    Composition of two scale-honest primitives: ``bigram_lm_score``
+    (train fold + broadcast scoring) produces per-doc scores, and
+    ``pipelines/quantiles.exact_quantiles`` finds the drop_pct-th
+    percentile of avg = logprob_q6 / n_bigrams exactly WITHOUT a
+    global sort (pivot selection, 3 passes). Docs keep iff
+    avg >= threshold (PERCENTILE_DISC ties keep); docs with zero
+    bigrams are dropped (no quality evidence). The scored dataset is
+    materialized once (three int64 columns per doc) so the quantile
+    passes re-read blocks instead of re-running the scorer.
+    """
+    import pyarrow.compute as pc
+
+    from searchengine_ray.pipelines.quantiles import exact_quantiles
+
+    scored = bigram_lm_score(docs_ds, add_k=add_k, min_count=min_count,
+                             fold_mode=fold_mode)
+
+    def with_avg(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_bigrams"], 0))
+        lq = b["logprob_q6"].to_numpy(zero_copy_only=False)
+        nb = b["n_bigrams"].to_numpy(zero_copy_only=False)
+        return b.append_column("avg", pa.array(lq / nb, pa.float64()))
+
+    avg_ds = scored.map_batches(with_avg,
+                                batch_format="pyarrow").materialize()
+    thr_tbl = exact_quantiles(avg_ds, "avg", pcts=(int(drop_pct),),
+                              fold_mode=fold_mode)
+    if thr_tbl.num_rows == 0:
+        return avg_ds.map_batches(
+            lambda b: b.drop_columns(["avg"]), batch_format="pyarrow")
+    thr = thr_tbl["v_q"][0].as_py()
+    return avg_ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["avg"], thr))
+                   .drop_columns(["avg"]),
+        batch_format="pyarrow",
+    )
