@@ -297,6 +297,14 @@ def cmd_curate_op(args) -> int:
         ds = ray.data.read_parquet(args.documents,
                                    columns=["doc_id", "text"])
         out = span_dedup(ds, span_tokens=args.span_tokens)
+    elif args.op == "dsir":
+        from searchengine_ray.pipelines.dsir import dsir_scores
+
+        ds = ray.data.read_parquet(
+            args.documents, columns=["doc_id", "text", args.host_column])
+        out = dsir_scores(ds, target_value=args.target,
+                          target_col=args.host_column,
+                          min_count=args.min_count)
     else:
         ds = ray.data.read_parquet(args.documents,
                                    columns=["doc_id", "text"])
@@ -332,6 +340,22 @@ def cmd_curate_op(args) -> int:
             from searchengine_ray.pipelines.analysis import pii_redact_batch
 
             out = ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+        elif args.op == "winnow":
+            from searchengine_ray.pipelines.winnow import winnow_fingerprints
+
+            out = winnow_fingerprints(ds, k=args.ngram, w=args.window)
+        elif args.op == "pmi":
+            import ray.data as _rd
+
+            from searchengine_ray.pipelines.cooccur import pmi_pairs
+
+            out = _rd.from_arrow(pmi_pairs(ds, k=args.k_pairs))
+        elif args.op == "qualityfilter":
+            from searchengine_ray.pipelines.lm import lm_quality_filter
+
+            out = lm_quality_filter(ds, drop_pct=args.drop_pct,
+                                    add_k=args.add_k,
+                                    min_count=args.min_count)
         else:   # repetition
             from searchengine_ray.pipelines.analysis import (
                 repetition_stats_batch,
@@ -400,7 +424,8 @@ def main(argv=None) -> int:
     pc_.add_argument("--op", required=True,
                      choices=["chunk", "decontam", "keywords", "pii",
                               "repetition", "hostcap", "sessionize",
-                              "lm", "resample", "pack", "spandedup"])
+                              "lm", "resample", "pack", "spandedup",
+                              "dsir", "winnow", "pmi", "qualityfilter"])
     pc_.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
                           "sessionize)")
@@ -418,6 +443,14 @@ def main(argv=None) -> int:
                      help="replace a non-empty output dir")
     pc_.add_argument("--add-k", type=float, default=0.5,
                      help="lm: add-k smoothing constant")
+    pc_.add_argument("--target", default=None,
+                     help="dsir: target domain value in --host-column")
+    pc_.add_argument("--window", type=int, default=5,
+                     help="winnow: window size w (--ngram is k)")
+    pc_.add_argument("--k-pairs", type=int, default=50,
+                     help="pmi: number of top pairs to keep")
+    pc_.add_argument("--drop-pct", type=int, default=10,
+                     help="qualityfilter: percent of worst docs to drop")
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
@@ -434,6 +467,8 @@ def main(argv=None) -> int:
     pc_.add_argument("--span-tokens", type=int, default=4,
                      help="spandedup: tile size in whitespace tokens")
     args = ap.parse_args(argv)
+    if args.cmd == "curate" and args.op == "dsir" and not args.target:
+        raise SystemExit("curate --op dsir needs --target (domain value)")
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")
     if args.cmd in ("dedup", "ann", "bulk", "curate"):  # need Ray
