@@ -405,6 +405,24 @@ def _q_value_quantiles(sf_dir: str):
     return exact_quantiles(ds, "value")
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel completion per user: one groupby(user) shuffle,
+    each group reduces to a depth int; greedy-earliest chain is exact
+    for existence."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import funnel_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_counts(ds, FUNNEL_STEPS)
+
+
 def _q_events_by_user(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1048,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "events_props_hist": _q_events_props_hist,
+        "funnel": _q_funnel,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "search_wand": _q_search_wand,
@@ -1186,6 +1205,24 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS ({toks}) "
             "SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY 1 "
             "ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 USING (user_id) "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t "
+            "GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 USING (user_id) "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t "
+            "GROUP BY 1) "
+            f"SELECT 1::BIGINT AS step, '{FUNNEL_STEPS[0]}' AS "
+            "event_type, (SELECT count(*) FROM s1)::BIGINT AS n_users "
+            f"UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', "
+            "(SELECT count(*) FROM s2) "
+            f"UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', "
+            "(SELECT count(*) FROM s3)"
         ),
         "value_quantiles": (
             "SELECT 25::BIGINT AS pct, "

@@ -552,3 +552,56 @@ def _sessionize_salted(ds, gap_us: int, period: int):
         StitchStage, fn_constructor_kwargs={"remap_ref": remap_ref},
         batch_format="pyarrow", concurrency=autoscale_concurrency(),
     )
+
+
+# -- funnel analysis ---------------------------------------------------------
+
+def funnel_counts(events_ds, steps: list[str]) -> pa.Table:
+    """→ pa.Table (step:int64 1-based, event_type, n_users): how many
+    users complete the first i funnel steps IN ORDER — an event of
+    type steps[i] strictly after the matched steps[i-1] event. The
+    greedy earliest-match chain is exact for existence (taking the
+    earliest valid event at every step only ever leaves MORE room for
+    later steps — the standard exchange argument).
+
+    Scale shape: one groupby(user) shuffle; each group reduces to a
+    single depth integer (vectorized min-over-mask per step, at most
+    len(steps) passes over the user's events), and the depth
+    histogram — at most len(steps)+1 distinct values — is the only
+    thing folded on the driver. Heavy single users stream through one
+    group like sessionize's unsalted path (funnels need the whole
+    user history; there is no cross-salt stitch for order)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def depth_of(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        cur = -np.inf
+        depth = 0
+        for s in steps:
+            cand = ts[(et == s) & (ts > cur)]
+            if cand.size == 0:
+                break
+            cur = cand.min()
+            depth += 1
+        return pa.table({"depth": pa.array([depth], pa.int64())})
+
+    hist = {int(r["depth"]): int(r["count()"])
+            for r in events_ds.groupby("user_id")
+            .map_groups(depth_of, batch_format="pyarrow")
+            .groupby("depth").count().take_all()}
+    out_step, out_type, out_n = [], [], []
+    # n_users reaching step i = #users with depth >= i (suffix sum)
+    by_depth = [hist.get(d, 0) for d in range(len(steps) + 1)]
+    cums = np.cumsum(by_depth[::-1])[::-1]   # cums[d] = #depth >= d
+    for i, s in enumerate(steps, start=1):
+        out_step.append(i)
+        out_type.append(s)
+        out_n.append(int(cums[i]))
+    return pa.table({
+        "step": pa.array(out_step, pa.int64()),
+        "event_type": pa.array(out_type, pa.string()),
+        "n_users": pa.array(out_n, pa.int64()),
+    })

@@ -1,0 +1,45 @@
+"""funnel_counts: ordered step completion vs hand-traced users."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines.events import funnel_counts
+
+STEPS = ["view", "click", "purchase"]
+
+# (user, [(ts, type)...], expected depth)
+USERS = [
+    (0, [(1, "view"), (2, "click"), (3, "purchase")], 3),  # full
+    (1, [(1, "view"), (2, "click")], 2),                   # partial
+    (2, [(1, "click"), (2, "view")], 1),                   # wrong order
+    (3, [(5, "view"), (5, "click")], 1),                   # tie: strictly after
+    (4, [(1, "purchase"), (2, "view"), (3, "click"),
+         (4, "purchase")], 3),                             # later retry counts
+    (5, [(1, "error")], 0),                                # never starts
+    (6, [(1, "view"), (2, "view"), (3, "click"), (1, "purchase"),
+         (9, "purchase")], 3),                             # greedy earliest
+]
+
+
+def _ds(parts):
+    import ray
+
+    rows = [(u, ts, et) for u, evs, _ in USERS for ts, et in evs]
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })).random_shuffle(seed=3).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("parts", [1, 5])
+def test_funnel_matches_hand_trace(parts):
+    got = {r["step"]: (r["event_type"], r["n_users"])
+           for r in funnel_counts(_ds(parts), STEPS).to_pylist()}
+    depths = [d for _, _, d in USERS]
+    want = {i: (s, sum(1 for d in depths if d >= i))
+            for i, s in enumerate(STEPS, start=1)}
+    assert got == want
