@@ -423,6 +423,20 @@ def _q_funnel(sf_dir: str):
     return funnel_counts(ds, FUNNEL_STEPS)
 
 
+def _q_retention(sf_dir: str):
+    """Cohort retention: groupby(user) → distinct (cohort, age) rows
+    per user → tiny keyed count; integer-us period ids."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import retention_cohorts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return retention_cohorts(ds, period_hours=24)
+
+
 def _q_events_by_user(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,
         "events_props_hist": _q_events_props_hist,
         "funnel": _q_funnel,
+        "retention": _q_retention,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "search_wand": _q_search_wand,
@@ -1223,6 +1238,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM s2) "
             f"UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', "
             "(SELECT count(*) FROM s3)"
+        ),
+        "retention": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS per FROM events), "
+            "f AS (SELECT user_id, min(per) AS cohort FROM act "
+            "GROUP BY 1) "
+            "SELECT f.cohort::BIGINT AS cohort, "
+            "(act.per - f.cohort)::BIGINT AS age, "
+            "count(*)::BIGINT AS n_users "
+            "FROM act JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "value_quantiles": (
             "SELECT 25::BIGINT AS pct, "

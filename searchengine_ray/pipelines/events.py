@@ -605,3 +605,37 @@ def funnel_counts(events_ds, steps: list[str]) -> pa.Table:
         "event_type": pa.array(out_type, pa.string()),
         "n_users": pa.array(out_n, pa.int64()),
     })
+
+
+def retention_cohorts(events_ds, period_hours: int = 24):
+    """→ Dataset (cohort:int64, age:int64, n_users): classic cohort
+    retention — users are cohorted by the period of their FIRST
+    activity, and n_users counts how many of a cohort were active
+    ``age`` periods later (age 0 = the cohort period itself).
+
+    Scale shape: one groupby(user) shuffle; each group reduces to its
+    DISTINCT (cohort, age) rows (at most periods-spanned per user,
+    already deduplicated inside the group), then a tiny
+    (cohort, age)-keyed count — the same two-bounded-shuffles shape as
+    funnel/sessionize. Period ids are integer microsecond division on
+    both sides, so there is no float boundary wobble vs the oracle."""
+    per_us = int(period_hours) * 3_600 * 1_000_000
+
+    def cohort_ages(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        per = np.unique(ts // per_us)
+        return pa.table({
+            "cohort": pa.array(np.full(per.size, per[0]), pa.int64()),
+            "age": pa.array(per - per[0], pa.int64()),
+        })
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(cohort_ages, batch_format="pyarrow")
+        .groupby(["cohort", "age"]).count()
+        .map_batches(
+            lambda b: b.rename_columns(["cohort", "age", "n_users"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -43,3 +43,31 @@ def test_funnel_matches_hand_trace(parts):
     want = {i: (s, sum(1 for d in depths if d >= i))
             for i, s in enumerate(STEPS, start=1)}
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_matches_naive():
+    import ray
+
+    from searchengine_ray.pipelines.events import retention_cohorts
+
+    per = 24 * 3_600_000_000
+    # (user, [periods active]); ts = period * per + user offset
+    users = {0: [0, 0, 1, 3], 1: [0, 2], 2: [1], 3: [1, 1, 2]}
+    rows = [(u, p * per + u * 1000) for u, ps in users.items()
+            for p in ps]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+    })).random_shuffle(seed=5).repartition(4)
+    got = sorted((r["cohort"], r["age"], r["n_users"]) for r in
+                 retention_cohorts(ds, period_hours=24).take_all())
+    from collections import Counter
+    c = Counter()
+    for u, ps in users.items():
+        cohort = min(ps)
+        for age in {p - cohort for p in ps}:
+            c[(cohort, age)] += 1
+    want = sorted((co, age, n) for (co, age), n in c.items())
+    assert got == want
