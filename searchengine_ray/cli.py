@@ -369,6 +369,72 @@ def cmd_curate_op(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Corpus/event analytics op over parquet → parquet. Ops:
+    heavyhitters, tokenquantiles, langtopterms (documents parquet);
+    valuequantiles, funnel, retention (events parquet); fuzzy, expand
+    (documents parquet + --terms)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import ray.data
+
+    if _os.path.isdir(args.output) and _os.listdir(args.output):
+        if not args.overwrite:
+            raise SystemExit(
+                f"output dir {args.output!r} exists and is not empty; "
+                "pass --overwrite to replace it")
+        _shutil.rmtree(args.output)
+
+    def docs(cols):
+        return ray.data.read_parquet(args.documents, columns=cols)
+
+    if args.op == "heavyhitters":
+        from searchengine_ray.pipelines.analysis import heavy_hitters
+
+        res = heavy_hitters(docs(["doc_id", "text"]), k=args.k)
+    elif args.op == "tokenquantiles":
+        from searchengine_ray.pipelines.analysis import token_quantiles
+
+        res = token_quantiles(docs(["doc_id", "text"]))
+    elif args.op == "langtopterms":
+        from searchengine_ray.pipelines.analysis import lang_top_terms
+
+        res = lang_top_terms(docs(["doc_id", "text", "lang"]), k=args.k)
+    elif args.op == "valuequantiles":
+        from searchengine_ray.pipelines.quantiles import exact_quantiles
+
+        res = exact_quantiles(docs([args.col]), args.col)
+    elif args.op == "funnel":
+        from searchengine_ray.pipelines.events import funnel_counts
+
+        res = funnel_counts(docs(["user_id", "ts", "event_type"]),
+                            args.steps)
+    elif args.op == "retention":
+        from searchengine_ray.pipelines.events import retention_cohorts
+
+        res = retention_cohorts(docs(["user_id", "ts"]),
+                                period_hours=args.period_hours)
+    elif args.op == "fuzzy":
+        from searchengine_ray.query.fuzzy import fuzzy_suggest
+
+        res = fuzzy_suggest(docs(["doc_id", "text"]), args.terms,
+                            max_dist=2, k=args.k)
+    else:   # expand
+        from searchengine_ray.pipelines.cooccur import expand_query
+
+        res = expand_query(docs(["doc_id", "text"]), args.terms,
+                           k=args.k)
+
+    out = (res if hasattr(res, "write_parquet")
+           else ray.data.from_arrow(res))
+    out.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(_json.dumps({"op": args.op, "rows": n, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -451,6 +517,26 @@ def main(argv=None) -> int:
                      help="pmi: number of top pairs to keep")
     pc_.add_argument("--drop-pct", type=int, default=10,
                      help="qualityfilter: percent of worst docs to drop")
+    pan = sub.add_parser("analyze")
+    pan.add_argument("--op", required=True,
+                     choices=["heavyhitters", "tokenquantiles",
+                              "langtopterms", "valuequantiles",
+                              "funnel", "retention", "fuzzy", "expand"])
+    pan.add_argument("--documents", nargs="+", required=True,
+                     help="documents parquet (events parquet for "
+                          "valuequantiles/funnel/retention)")
+    pan.add_argument("--output", required=True)
+    pan.add_argument("--k", type=int, default=10)
+    pan.add_argument("--col", default="value",
+                     help="valuequantiles: numeric column")
+    pan.add_argument("--steps", nargs="+",
+                     default=["view", "click", "purchase"],
+                     help="funnel: ordered event types")
+    pan.add_argument("--period-hours", type=int, default=24)
+    pan.add_argument("--terms", nargs="+", default=None,
+                     help="fuzzy/expand: query terms")
+    pan.add_argument("--num-cpus", type=int, default=None)
+    pan.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
@@ -467,11 +553,14 @@ def main(argv=None) -> int:
     pc_.add_argument("--span-tokens", type=int, default=4,
                      help="spandedup: tile size in whitespace tokens")
     args = ap.parse_args(argv)
+    if args.cmd == "analyze" and args.op in ("fuzzy", "expand") \
+            and not args.terms:
+        raise SystemExit(f"analyze --op {args.op} needs --terms")
     if args.cmd == "curate" and args.op == "dsir" and not args.target:
         raise SystemExit("curate --op dsir needs --target (domain value)")
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")
-    if args.cmd in ("dedup", "ann", "bulk", "curate"):  # need Ray
+    if args.cmd in ("dedup", "ann", "bulk", "curate", "analyze"):  # need Ray
         import ray
 
         if not ray.is_initialized():
@@ -489,6 +578,8 @@ def main(argv=None) -> int:
         return cmd_bulk(args)
     if args.cmd == "curate":
         return cmd_curate_op(args)
+    if args.cmd == "analyze":
+        return cmd_analyze(args)
     return cmd_search(args)
 
 
