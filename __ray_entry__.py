@@ -265,6 +265,14 @@ def _q_query_expansion(sf_dir: str):
                         min_df=2, min_pairs=2, max_vocab=1000)
 
 
+def _q_hash_vectorize(sf_dir: str):
+    """Feature-hashing (hashing-trick) document vectors: doc-local
+    signed hashed counts + squared norm, pure-integer contract."""
+    from searchengine_ray.pipelines.vectorize import hash_vectorize
+
+    return hash_vectorize(_docs_ds(sf_dir), dim=64)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1073,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
         "boolean_expr": _q_boolean_expr,
+        "hash_vectorize": _q_hash_vectorize,
         "pmi_pairs": _q_pmi_pairs,
         "query_expansion": _q_query_expansion,
         "dsir_scores": _q_dsir_scores,
@@ -1480,6 +1489,20 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = oracles.sql_multimodal_features()
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
+    out["hash_vectorize"] = (
+        f"WITH toks AS ({toks}), "
+        f"th AS (SELECT doc_id, {oracles.fnv_expr('term')} AS h "
+        "FROM toks), "
+        "comp AS (SELECT doc_id, (h % 64)::BIGINT AS dim, "
+        "CASE WHEN ((h // 64) & 1) = 1 THEN 1 ELSE -1 END AS sgn "
+        "FROM th), "
+        "acc AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS c FROM comp "
+        "GROUP BY 1, 2 HAVING sum(sgn) <> 0), "
+        "nsq AS (SELECT doc_id, sum(c * c)::BIGINT AS norm_sq "
+        "FROM acc GROUP BY 1) "
+        "SELECT a.doc_id, a.dim, a.c, n.norm_sq "
+        "FROM acc a JOIN nsq n USING (doc_id)"
+    )
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)
     out["dsir_select"] = (

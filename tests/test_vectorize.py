@@ -1,0 +1,71 @@
+"""Feature-hashing vectorizer: sparse integer rows vs a naive
+reference, and the dense variant feeding cosine similarity end-to-end."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines.dedup import _hash_tokens
+from searchengine_ray.pipelines.vectorize import (
+    hash_vectorize_batch,
+    hash_vectorize_dense,
+)
+
+DIM = 64
+
+
+def _simple_toks(text):
+    toks = re.sub(r"[^\w\s]", " ", text).lower().split()
+    return [t for t in toks if len(t) >= 2]
+
+
+def _naive(texts):
+    rows = set()
+    for d, text in enumerate(texts):
+        acc = Counter()
+        for t in _simple_toks(text):
+            h = int(_hash_tokens(pa.array([t]))[0])
+            sgn = 1 if ((h // DIM) & 1) == 1 else -1
+            acc[h % DIM] += sgn
+        acc = {k: v for k, v in acc.items() if v != 0}
+        nsq = sum(v * v for v in acc.values())
+        for k, v in acc.items():
+            rows.add((d, k, v, nsq))
+    return sorted(rows)
+
+
+TEXTS = ["fast spark join merge", "fast spark join merge extra",
+         "totally different words here", "fast fast fast", ""]
+
+
+def test_sparse_matches_naive():
+    t = hash_vectorize_batch(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    }), dim=DIM)
+    got = sorted(zip(*(t[c].to_pylist()
+                       for c in ("doc_id", "dim", "c", "norm_sq"))))
+    assert got == _naive(TEXTS)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dense_vectors_rank_similar_docs():
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    })).repartition(2)
+    rows = sorted(hash_vectorize_dense(ds, dim=DIM).take_all(),
+                  key=lambda r: r["vec_id"])
+    mat = np.array([r["embedding"] for r in rows[:4]], dtype=np.float64)
+    # unit norms for non-empty docs
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
+    sims = mat @ mat.T
+    # near-duplicate docs 0/1 are far more similar than unrelated 0/2
+    assert sims[0, 1] > 0.8 > sims[0, 2]
+    # empty doc yields a zero vector
+    assert not any(rows[4]["embedding"])
