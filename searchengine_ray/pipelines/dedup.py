@@ -447,6 +447,10 @@ def jaccard_verified_pairs(docs_ds, min_num: int = 1, min_den: int = 2):
     )
     j = cand.join(da, join_type="inner", num_partitions=nparts,
                   on=("doc_a",), right_on=("jda",))
+    # schemaless empty join partitions break the chained join's
+    # aggregator (round-2 empty-block gotcha; a schema-restoring map
+    # does not run on empty blocks) — repartition rebuilds typed blocks
+    j = j.repartition(nparts)
     j = j.join(db, join_type="inner", num_partitions=nparts,
                on=("doc_b",), right_on=("jdb",))
 

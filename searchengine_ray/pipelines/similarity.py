@@ -489,6 +489,13 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.3,
     )
     j = cand.join(ea, join_type="inner", num_partitions=num_partitions,
                   on=("doc_a",), right_on=("va",))
+    # a join partition that matched nothing comes out as a SCHEMALESS
+    # () block, and the NEXT join's aggregator then cannot resolve its
+    # key fields (round-2 empty-block gotcha — bites any small-
+    # candidate corpus; a schema-restoring map does NOT work because
+    # Ray skips the UDF on empty blocks). repartition rebuilds blocks
+    # by slicing the typed concatenation, which clears the empties.
+    j = j.repartition(num_partitions)
     j = j.join(eb, join_type="inner", num_partitions=num_partitions,
                on=("doc_b",), right_on=("vb",))
 

@@ -52,6 +52,30 @@ def test_sparse_matches_naive():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_composes_with_embedding_near_dup():
+    """Raw text → hashed vectors → the existing embedding near-dup
+    operator, end to end: near-identical docs pair up, unrelated ones
+    do not."""
+    import ray
+
+    from searchengine_ray.pipelines.similarity import embedding_near_dup
+
+    texts = ["fast spark join merge stream table",
+             "fast spark join merge stream table extra",
+             "completely unrelated vocabulary entirely elsewhere",
+             "another disjoint set of rare tokens"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    vecs = hash_vectorize_dense(ds, dim=DIM)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in embedding_near_dup(vecs, threshold=0.8).take_all()}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dense_vectors_rank_similar_docs():
     import ray
 
