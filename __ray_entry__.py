@@ -273,6 +273,32 @@ def _q_hash_vectorize(sf_dir: str):
     return hash_vectorize(_docs_ds(sf_dir), dim=64)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: new docs (source != src0) kept iff
+    their fingerprint is absent from the existing corpus (src0) — one
+    tagged-union fingerprint aggregate, no broadcast."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import dedup_against
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    new = ds.map_batches(
+        lambda b: b.filter(_pc.not_equal(b["source"], "src0"))
+                   .select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    old = ds.map_batches(
+        lambda b: b.filter(_pc.equal(b["source"], "src0"))
+                   .select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    return dedup_against(new, old)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1095,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "search_wand": _q_search_wand,
         "exact_dedup": _q_exact_dedup,
+        "dedup_incremental": _q_dedup_incremental,
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
         "quality_stats": _q_quality_stats,
@@ -1427,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprints": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "dedup_incremental": (
+            "WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents "
+            "WHERE source = 'src0') "
+            "SELECT md5(text) AS fingerprint, min(doc_id)::BIGINT "
+            "AS doc_id FROM documents "
+            "WHERE source <> 'src0' AND md5(text) NOT IN "
+            "(SELECT fp FROM old) GROUP BY 1"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -525,3 +525,62 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1000):
     return rows.groupby(["band_id", "band_value"]).map_groups(
         band_pairs, batch_format="pyarrow"
     )
+
+
+def dedup_against(new_ds, existing_ds):
+    """Incremental exact dedup: → Dataset (fingerprint, doc_id) — the
+    NEW documents to keep, i.e. new docs whose md5 fingerprint appears
+    nowhere in the EXISTING corpus, deduplicated within the new batch
+    too (lowest doc_id wins) — the "dedupe today's crawl against the
+    corpus we already have" operator.
+
+    Scale shape: the existing corpus's fingerprints can be as large as
+    the corpus itself (10^12 rows — no broadcast), so both sides are
+    TAGGED and unioned into ONE fingerprint-keyed aggregate: per group,
+    min new doc_id and whether any old member exists — Ray pre-combines
+    per block (native Min aggregates, no per-group UDF), one all-to-all
+    total. ``existing_ds`` may be the raw docs table (doc_id, text) or
+    an already-persisted fingerprint table (fingerprint column)."""
+    from ray.data.aggregate import Min
+
+    from searchengine_ray.pipelines.analysis import fingerprint_batch
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b)
+        return pa.table({
+            "fingerprint": t["fingerprint"],
+            "new_doc": t["doc_id"].cast(pa.int64()),
+            "is_old": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+        })
+
+    def tag_old(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b) if "fingerprint" not in b.column_names \
+            else b
+        n = t.num_rows
+        return pa.table({
+            "fingerprint": t["fingerprint"],
+            # sentinel: old rows never win the min-doc_id race
+            "new_doc": pa.array(
+                np.full(n, np.iinfo(np.int64).max, np.int64), pa.int64()),
+            "is_old": pa.array(np.zeros(n, np.int64) - 1, pa.int64()),
+        })
+
+    tagged = new_ds.map_batches(tag_new, batch_format="pyarrow").union(
+        existing_ds.map_batches(tag_old, batch_format="pyarrow"))
+    agg = tagged.groupby("fingerprint").aggregate(
+        Min("new_doc", alias_name="doc_id"),
+        Min("is_old", alias_name="has_old"),   # min = -1 iff any old row
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b["has_old"], 0),
+            pc.not_equal(b["doc_id"], np.iinfo(np.int64).max),
+        )
+        b = b.filter(keep)
+        return pa.table({
+            "fingerprint": b["fingerprint"],
+            "doc_id": b["doc_id"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
