@@ -299,6 +299,14 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against(new, old)
 
 
+def _q_exact_sample(sf_dir: str):
+    """Exact-size deterministic uniform sample: global k smallest FNV
+    hashes — per-batch top-k prune, k x n_blocks driver fold."""
+    from searchengine_ray.pipelines.curate import exact_sample
+
+    return exact_sample(_docs_ds(sf_dir), k=100)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1173,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
+        "exact_sample": _q_exact_sample,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -1537,6 +1546,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM acc GROUP BY 1) "
         "SELECT a.doc_id, a.dim, a.c, n.norm_sq "
         "FROM acc a JOIN nsq n USING (doc_id)"
+    )
+    out["exact_sample"] = (
+        "WITH h AS (SELECT doc_id, "
+        + oracles.fnv_expr("('sample:' || doc_id::VARCHAR)")
+        + " AS hu FROM documents) "
+        "SELECT doc_id, (CASE WHEN hu >= 9223372036854775808::HUGEINT "
+        "THEN hu::HUGEINT - 18446744073709551616::HUGEINT "
+        "ELSE hu::HUGEINT END)::BIGINT AS h "
+        "FROM h ORDER BY hu ASC, doc_id ASC LIMIT 100"
     )
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)

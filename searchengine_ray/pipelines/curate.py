@@ -498,3 +498,46 @@ def span_dedup(docs_ds, span_tokens: int = 4):
 
     return winners.map_batches(parse_winners, batch_format="pyarrow") \
         .groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
+
+
+def exact_sample(docs_ds, k: int, salt: str = "sample") -> pa.Table:
+    """→ pa.Table (doc_id, h): an EXACT-size deterministic uniform
+    sample — the k documents with the smallest FNV64('<salt>:'||doc_id)
+    hash (ties doc_id asc). Complements ``stratified_sample``, whose
+    permille gate gives only an EXPECTED size: here the size is exact,
+    the choice is still reproducible anywhere (no RNG state, no
+    partitioning/ordering dependence — hash-order is a fixed global
+    order), and changing ``salt`` draws an independent sample.
+
+    Scale shape: per-batch top-k prune by (h, doc_id) → k×n_blocks
+    driver fold (the cosine_topk pattern); k must be driver-bounded —
+    for keep-a-fraction sampling use the stratified permille gate
+    instead. ``h`` is emitted two's-complement int64 so the contract
+    stays integer-exact."""
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    def topk_batch(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array([f"{salt}:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        h = _hash_tokens(keys).view(np.int64)
+        # order by UNSIGNED hash: flip the sign bit so int64 sort order
+        # matches uint64 order
+        hs = h ^ np.int64(-2**63)
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        top = np.lexsort((doc, hs))[:k]
+        return pa.table({"doc_id": pa.array(doc[top], pa.int64()),
+                         "h": pa.array(h[top], pa.int64())})
+
+    parts = docs_ds.map_batches(topk_batch,
+                                batch_format="pyarrow").take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    t = pa.Table.from_pylist(parts, schema=empty.schema)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    hs = t["h"].to_numpy(zero_copy_only=False) ^ np.int64(-2**63)
+    top = np.lexsort((doc, hs))[:k]
+    return t.take(pa.array(top, pa.int64()))

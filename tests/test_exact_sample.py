@@ -1,0 +1,36 @@
+"""exact_sample: exact size, hash-order determinism, partitioning
+independence, salt independence."""
+
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines.curate import exact_sample
+
+
+def _ds(n, parts):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+    })).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_size_and_partition_independence():
+    a = exact_sample(_ds(500, 1), k=40).to_pylist()
+    b = exact_sample(_ds(500, 7), k=40).to_pylist()
+    assert len(a) == 40 and a == b
+    assert len({r["doc_id"] for r in a}) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salt_changes_sample_and_k_overflow():
+    base = {r["doc_id"] for r in exact_sample(_ds(500, 4), k=40)
+            .to_pylist()}
+    other = {r["doc_id"] for r in exact_sample(_ds(500, 4), k=40,
+                                               salt="other").to_pylist()}
+    assert base != other            # independent draw
+    assert len(other) == 40
+    allrows = exact_sample(_ds(30, 4), k=100).to_pylist()
+    assert sorted(r["doc_id"] for r in allrows) == list(range(30))
