@@ -307,6 +307,14 @@ def _q_exact_sample(sf_dir: str):
     return exact_sample(_docs_ds(sf_dir), k=100)
 
 
+def _q_vocab_kmv(sf_dir: str):
+    """KMV cardinality estimate of the token vocabulary (k=16 so the
+    estimate regime is exercised; integer-exact, deterministic)."""
+    from searchengine_ray.pipelines.analysis import vocab_kmv_estimate
+
+    return vocab_kmv_estimate(_docs_ds(sf_dir), k=16)
+
+
 def _q_top_bigrams(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1112,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "value_quantiles": _q_value_quantiles,
         "heavy_hitters": _q_heavy_hitters,
+        "vocab_kmv": _q_vocab_kmv,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "snippet_windows": _q_snippet_windows,
         "boolean_expr": _q_boolean_expr,
@@ -1546,6 +1555,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM acc GROUP BY 1) "
         "SELECT a.doc_id, a.dim, a.c, n.norm_sq "
         "FROM acc a JOIN nsq n USING (doc_id)"
+    )
+    out["vocab_kmv"] = (
+        f"WITH toks AS ({toks}), "
+        "dt AS (SELECT DISTINCT term FROM toks), "
+        "h0 AS (SELECT DISTINCT "
+        + oracles.fnv_expr("term")
+        + " AS h FROM dt), "
+        "x1 AS (SELECT xor(h, h >> 30) AS x FROM h0), "
+        "m1 AS (SELECT ((((x % 4294967296)::HUGEINT * 13787848793156543929::HUGEINT) + ((((x // 4294967296)::HUGEINT * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)::UBIGINT AS h FROM x1), "
+        "x2 AS (SELECT xor(h, h >> 27) AS x FROM m1), "
+        "m2 AS (SELECT ((((x % 4294967296)::HUGEINT * 10723151780598845931::HUGEINT) + ((((x // 4294967296)::HUGEINT * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)::UBIGINT AS h FROM x2), "
+
+        "hu AS (SELECT DISTINCT xor(h, h >> 31) AS h FROM m2), "
+        "km AS (SELECT h FROM hu ORDER BY h ASC LIMIT 16), "
+        "kth AS (SELECT max(h) AS kh, count(*)::BIGINT AS n FROM km) "
+        "SELECT (CASE WHEN n < 16 THEN n ELSE 16 END)::BIGINT AS k_used, "
+        "coalesce((CASE WHEN kh >= 9223372036854775808::HUGEINT "
+        "THEN kh::HUGEINT - 18446744073709551616::HUGEINT "
+        "ELSE kh::HUGEINT END)::BIGINT, 0) AS kth_hash, "
+        "(CASE WHEN n < 16 THEN n "
+        "ELSE (15::HUGEINT * 18446744073709551616::HUGEINT "
+        "// kh::HUGEINT)::BIGINT END)::BIGINT AS est_distinct FROM kth"
     )
     out["exact_sample"] = (
         "WITH h AS (SELECT doc_id, "

@@ -684,3 +684,72 @@ def heavy_hitters(docs_ds, k: int = 100, capacity: int = 4096,
             [("cf", "descending"), ("term", "ascending")]
         ).slice(0, k)
     return top
+
+
+# -- KMV distinct-count estimation ------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele/Lea/Flood; public domain constants):
+    KMV needs UNIFORM hashes near 0, and raw FNV-1a is measurably
+    non-uniform there for short sequential tokens (a 0.224 vs 0.102
+    k-th-minimum on a 5000-word vocab → a 2.2× cardinality error);
+    the avalanche mix restores uniformity. Mirrored exactly in the SQL
+    oracle with HUGEINT mod-2^64 arithmetic."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def kmv_partial_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch k-minimum-values partial: the k smallest DISTINCT
+    mixed token hashes (two's-complement int64 rows)."""
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    flat, _ = simple_tokens_flat(batch["text"])
+    h = np.unique(_splitmix64(_hash_tokens(flat)))   # uint64, ascending
+    return pa.table({"h": pa.array(h[:k].view(np.int64), pa.int64())})
+
+
+def vocab_kmv_estimate(docs_ds, k: int = 1024) -> pa.Table:
+    """→ pa.Table (k_used, kth_hash, est_distinct), one row: the KMV
+    (k-minimum-values) estimate of the DISTINCT token count
+    (Bar-Yossef et al. 2002): with the k smallest distinct hash values
+    of the stream, est = (k-1) · 2^64 // h_k — integer arithmetic
+    throughout, so the "estimate" is a deterministic exact function of
+    the data and the oracle reproduces it bit-for-bit. Fewer than k
+    distinct hashes → the count is simply exact.
+
+    Scale shape: exact distinct counting needs a vocabulary-sized
+    fold; KMV ships k rows per block and folds k values total —
+    cardinality estimation at 100 TB for the cost of a top-k. FNV is
+    deterministic, so the estimate is partitioning-independent."""
+    parts = docs_ds.map_batches(
+        kmv_partial_batch, fn_kwargs={"k": int(k)},
+        batch_format="pyarrow",
+    ).take_all()
+    if not parts:
+        return pa.table({"k_used": pa.array([0], pa.int64()),
+                         "kth_hash": pa.array([0], pa.int64()),
+                         "est_distinct": pa.array([0], pa.int64())})
+    h = np.unique(np.asarray([r["h"] for r in parts],
+                             np.int64).view(np.uint64))
+    h = np.sort(h)[:k]
+    if h.size < k:                      # exact regime
+        return pa.table({
+            "k_used": pa.array([int(h.size)], pa.int64()),
+            "kth_hash": pa.array(
+                [int(h[-1].view(np.int64)) if h.size else 0], pa.int64()),
+            "est_distinct": pa.array([int(h.size)], pa.int64()),
+        })
+    kth = int(h[-1])                    # python int (unsigned value)
+    est = (k - 1) * (1 << 64) // kth
+    return pa.table({
+        "k_used": pa.array([k], pa.int64()),
+        "kth_hash": pa.array([int(np.uint64(kth).view(np.int64))],
+                             pa.int64()),
+        "est_distinct": pa.array([est], pa.int64()),
+    })
