@@ -435,6 +435,33 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_index_stats(args) -> int:
+    """Operational snapshot of an index: corpus stats, config, build
+    metrics/lineage, per-shard on-disk sizes."""
+    import glob
+    import os
+
+    from searchengine_ray.build.pipeline import load_manifest
+
+    m = load_manifest(args.search_index)
+    shard_files = sorted(glob.glob(
+        os.path.join(args.search_index, "shards", "*.parquet")))
+    sizes = [os.path.getsize(f) for f in shard_files]
+    out = {
+        "corpus": m["corpus"],
+        "config": {k: m["config"][k] for k in
+                   ("ranker", "posting_type", "language", "num_shards")
+                   if k in m["config"]},
+        "n_shard_files": len(shard_files),
+        "index_bytes": sum(sizes),
+        "largest_shard_bytes": max(sizes) if sizes else 0,
+        "metrics": m.get("metrics", {}),
+        "lineage": m.get("lineage", {}),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -537,6 +564,8 @@ def main(argv=None) -> int:
                      help="fuzzy/expand: query terms")
     pan.add_argument("--num-cpus", type=int, default=None)
     pan.add_argument("--overwrite", action="store_true")
+    pst = sub.add_parser("index-stats")
+    pst.add_argument("--search-index", required=True)
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
@@ -580,6 +609,8 @@ def main(argv=None) -> int:
         return cmd_curate_op(args)
     if args.cmd == "analyze":
         return cmd_analyze(args)
+    if args.cmd == "index-stats":
+        return cmd_index_stats(args)
     return cmd_search(args)
 
 
