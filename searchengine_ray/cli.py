@@ -119,6 +119,10 @@ def cmd_search(args) -> int:
         print(f"{row['rank']:3d}  {row['score']:.6f}  "
               f"{row['doc_id']}  {row['url']}{extra}")
 
+    if args.more_like is not None:
+        for row in s.more_like_this(args.more_like, args.n).to_pylist():
+            _show(row)
+        return 0
     if args.query:
         for row in _run(args.query).to_pylist():
             _show(row)
@@ -482,6 +486,9 @@ def main(argv=None) -> int:
     ps.add_argument("--boolean", action="store_true",
                     help="treat the query as a boolean AND/OR/NOT "
                          "expression (returns matching docs, unranked)")
+    ps.add_argument("--more-like", type=int, default=None,
+                    help="similar-document query: use this doc_id's "
+                         "top tf-idf terms instead of --query")
     pe = sub.add_parser("eval")
     pe.add_argument("--search-index", required=True)
     pe.add_argument("--queries", default=None)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from searchengine_ray.build.extract import make_tokenizer
@@ -161,6 +162,55 @@ class Searcher:
             self._all_doc_ids = (np.unique(np.concatenate(parts))
                                  if parts else np.empty(0, np.int64))
         return self._all_doc_ids
+
+    def doc_terms(self, doc_id: int):
+        """→ (terms, tfs) of one document from the tokenized
+        checkpoints (the forward index the build already persists);
+        same footer-range file routing as ``urls_of``."""
+        import glob
+        import os
+
+        files = sorted(glob.glob(
+            os.path.join(self.index_dir, "tokenized", "*.parquet")))
+        for f in files:
+            meta = pq.read_metadata(f)
+            idx = meta.schema.names.index("doc_id")
+            lo = min(meta.row_group(i).column(idx).statistics.min
+                     for i in range(meta.num_row_groups))
+            hi = max(meta.row_group(i).column(idx).statistics.max
+                     for i in range(meta.num_row_groups))
+            if lo <= doc_id <= hi:
+                t = pq.read_table(f, columns=["doc_id", "terms", "tfs"])
+                pos = pc.index(t["doc_id"], doc_id).as_py()
+                if pos >= 0:
+                    return (t["terms"][pos].as_py(),
+                            t["tfs"][pos].as_py())
+        raise KeyError(f"doc_id {doc_id} not in index")
+
+    def more_like_this(self, doc_id: int, n: int | None = None,
+                       max_terms: int = 10) -> pa.Table:
+        """Similar documents to ``doc_id`` (classic MLT): the doc's
+        top-``max_terms`` terms by tf·idf (ties term-asc) become the
+        query; the seed doc is excluded from the results →
+        (rank, doc_id, score, url)."""
+        n = n or self.cfg.default_top_k
+        terms, tfs = self.doc_terms(doc_id)
+        recs = self.reader.fetch(terms)
+        scored = sorted(
+            (-tf * recs[t].idf, t)
+            for t, tf in zip(terms, tfs) if t in recs
+        )[:max_terms]
+        tokens = [t for _, t in scored]
+        doc_ids, scores = self.search_tokens(tokens, n + 1)
+        keep = doc_ids != doc_id
+        doc_ids, scores = doc_ids[keep][:n], scores[keep][:n]
+        return pa.table({
+            "rank": pa.array(np.arange(1, doc_ids.size + 1,
+                                       dtype=np.int32), pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+            "url": pa.array(self.urls_of(doc_ids), pa.string()),
+        })
 
     def search_snippets(self, query: str, n: int | None = None,
                         width: int = 8) -> pa.Table:
