@@ -71,8 +71,23 @@ def test_composes_with_embedding_near_dup():
     vecs = hash_vectorize_dense(ds, dim=DIM)
     pairs = {(r["doc_a"], r["doc_b"])
              for r in embedding_near_dup(vecs, threshold=0.8).take_all()}
-    assert (0, 1) in pairs
-    assert all(p == (0, 1) for p in pairs)
+    # diagnostics on failure: this test flaked ~2/7 FULL-suite runs
+    # (never standalone or in its file neighborhood) — if it fires
+    # again, the context below localizes which stage went wrong
+    if pairs != {(0, 1)}:
+        from searchengine_ray.pipelines.similarity import (
+            lsh_candidate_pairs,
+        )
+
+        cand = lsh_candidate_pairs(
+            hash_vectorize_dense(ds, dim=DIM)).take_all()
+        rows = sorted(hash_vectorize_dense(ds, dim=DIM).take_all(),
+                      key=lambda r: r["vec_id"])
+        m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        raise AssertionError(
+            f"pairs={sorted(pairs)} cand={cand} "
+            f"sim01={float(m[0] @ m[1]):.4f} "
+            f"norms={np.linalg.norm(m, axis=1).round(4).tolist()}")
 
 
 @pytest.mark.usefixtures("ray_session")
