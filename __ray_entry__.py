@@ -307,6 +307,16 @@ def _q_exact_sample(sf_dir: str):
     return exact_sample(_docs_ds(sf_dir), k=100)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exact-size weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES keys from a salted hash): inclusion probability
+    proportional to document length, deterministic, prune + driver
+    fold."""
+    from searchengine_ray.pipelines.curate import weighted_sample
+
+    return weighted_sample(_docs_ds(sf_dir), k=64)
+
+
 def _q_vocab_kmv(sf_dir: str):
     """KMV cardinality estimate of the token vocabulary (k=16 so the
     estimate regime is exercised; integer-exact, deterministic)."""
@@ -1191,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "exact_sample": _q_exact_sample,
+        "weighted_sample": _q_weighted_sample,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -1587,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "ELSE hu::HUGEINT END)::BIGINT AS h "
         "FROM h ORDER BY hu ASC, doc_id ASC LIMIT 100"
     )
+    out["weighted_sample"] = oracles.sql_weighted_sample(k=64)
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)
     out["dsir_select"] = (

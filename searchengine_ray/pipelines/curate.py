@@ -500,6 +500,74 @@ def span_dedup(docs_ds, span_tokens: int = 4):
         .groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
 
 
+def weighted_sample(docs_ds, k: int, salt: str = "wsample") -> pa.Table:
+    """→ pa.Table (doc_id, w, key_q6): EXACT-size weighted sampling
+    WITHOUT replacement (Efraimidis & Spirakis 2006, algorithm A-ES):
+    keep the k documents with the largest key_i = ln(u_i) / w_i, where
+    w_i = max(chars(text), 1) is the document weight and u_i ∈ (0,1)
+    is a deterministic uniform derived from
+    splitmix64(FNV64('<salt>:'||doc_id)) — inclusion probability
+    proportional to weight, but with no RNG state: the sample is a
+    pure function of (corpus, salt), independent of partitioning and
+    execution order, and changing ``salt`` draws an independent
+    sample. Complements ``exact_sample`` (uniform) and
+    ``stratified_sample`` (expected-size): this is the
+    size-proportional pick a token-budgeted training mix needs.
+
+    Scale shape: per-batch top-(k+8) prune (the A-ES key order is
+    prune-safe: the global top-k is contained in the union of
+    per-partition top-ks) → k×n_blocks driver fold; k must be
+    driver-bounded. Float parity with the DuckDB oracle: u is an
+    exact power-of-two scaling of an integer hash, ln is libm on both
+    sides, divide is IEEE-exact — the batch prune uses vectorized
+    np.log with a +8 margin, then the driver recomputes survivors'
+    keys with math.log (the oracle-exact path) before the final cut.
+    """
+    import math
+
+    from searchengine_ray.pipelines.analysis import _splitmix64
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    def topk_batch(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array([f"{salt}:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        h = _splitmix64(_hash_tokens(keys))          # uint64
+        w = np.maximum(
+            pc.utf8_length(b["text"]).cast(pa.int64())
+            .to_numpy(zero_copy_only=False), 1)
+        u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
+        lk = np.log(u) / w                           # prune key only
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        top = np.lexsort((doc, -lk))[:k + 8]
+        return pa.table({
+            "doc_id": pa.array(doc[top], pa.int64()),
+            "w": pa.array(w[top], pa.int64()),
+            "h": pa.array(h[top].view(np.int64), pa.int64()),
+        })
+
+    parts = docs_ds.map_batches(topk_batch,
+                                batch_format="pyarrow").take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64()),
+                      "key_q6": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    doc = np.asarray([r["doc_id"] for r in parts], np.int64)
+    w = np.asarray([r["w"] for r in parts], np.int64)
+    h = np.asarray([r["h"] for r in parts], np.int64).view(np.uint64)
+    lk = np.asarray([math.log((int(x) + 0.5) / 2.0 ** 64) for x in h],
+                    np.float64) / w
+    top = np.lexsort((doc, -lk))[:k]
+    return pa.table({
+        "doc_id": pa.array(doc[top], pa.int64()),
+        "w": pa.array(w[top], pa.int64()),
+        "key_q6": pa.array(np.round(lk[top] * 1e6).astype(np.int64),
+                           pa.int64()),
+    })
+
+
 def exact_sample(docs_ds, k: int, salt: str = "sample") -> pa.Table:
     """→ pa.Table (doc_id, h): an EXACT-size deterministic uniform
     sample — the k documents with the smallest FNV64('<salt>:'||doc_id)
