@@ -619,6 +619,27 @@ def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
+def _q_search_prf(sf_dir: str):
+    """Pseudo-relevance-feedback BM25: top-3 feedback docs, 5 expansion
+    terms, re-ranked — two index searches, no corpus scan."""
+    from searchengine_ray.query.engine import Searcher
+
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search_prf(q, TOPK, fb_docs=3, fb_terms=5)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(_q4(t["score"].to_numpy(zero_copy_only=False)).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_q4": pa.array(scores, pa.int64()),
+    })
+
+
 def _q_search_tfidf(sf_dir: str):
     from searchengine_ray.config import RankerType
 
@@ -1161,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_cosine,
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
+        "search_prf": _q_search_prf,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1616,6 +1638,10 @@ def oracle_sql() -> dict[str, str]:
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_prf"] = oracles.sql_search_prf(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
+        fb_docs=3, fb_terms=5
     )
     out["search_bm25_german"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="german"),

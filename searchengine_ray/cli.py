@@ -111,6 +111,9 @@ def cmd_search(args) -> int:
             res = s.search_snippets(q, args.n, width=args.snippet_width)
             urls = s.urls_of(res["doc_id"].to_numpy(zero_copy_only=False))
             return res.append_column("url", pa.array(urls, pa.string()))
+        if args.prf:
+            return s.search_prf(q, args.n, fb_docs=args.prf_docs,
+                                fb_terms=args.prf_terms)
         return s.search(q, args.n)
 
     def _show(row: dict) -> None:
@@ -486,6 +489,12 @@ def main(argv=None) -> int:
     ps.add_argument("--boolean", action="store_true",
                     help="treat the query as a boolean AND/OR/NOT "
                          "expression (returns matching docs, unranked)")
+    ps.add_argument("--prf", action="store_true",
+                    help="pseudo-relevance feedback: expand the query "
+                    "with the strongest terms of its top results and "
+                    "re-rank")
+    ps.add_argument("--prf-docs", type=int, default=3)
+    ps.add_argument("--prf-terms", type=int, default=5)
     ps.add_argument("--more-like", type=int, default=None,
                     help="similar-document query: use this doc_id's "
                          "top tf-idf terms instead of --query")

@@ -212,6 +212,43 @@ class Searcher:
             "url": pa.array(self.urls_of(doc_ids), pa.string()),
         })
 
+    def search_prf(self, query: str, n: int | None = None,
+                   fb_docs: int = 3, fb_terms: int = 5) -> pa.Table:
+        """Pseudo-relevance-feedback search (Rocchio-style query
+        expansion): run the query, take the top-``fb_docs`` results as
+        presumed-relevant, pick the ``fb_terms`` strongest terms from
+        them (by feedback-tf·idf, ties term-asc, original query terms
+        excluded), append them to the query, and re-rank →
+        (rank, doc_id, score, url). The feedback-term weight uses the
+        stored quantized idf, so the whole loop is value-exact
+        reproducible in SQL (oracle ``search_prf``).
+
+        Scale shape: two index searches plus ``fb_docs`` forward-index
+        row fetches — no corpus scan, no shuffle."""
+        n = n or self.cfg.default_top_k
+        tokens = list(dict.fromkeys(self.tokenizer.tokenize(query)))
+        fb_ids, _ = self.search_tokens(tokens, fb_docs)
+        acc: dict[str, int] = {}
+        for d in fb_ids:
+            terms, tfs = self.doc_terms(int(d))
+            for t, f in zip(terms, tfs):
+                acc[t] = acc.get(t, 0) + f
+        qset = set(tokens)
+        cand = [t for t in acc if t not in qset]
+        recs = self.reader.fetch(cand)
+        scored = sorted(
+            (-acc[t] * recs[t].idf, t) for t in cand if t in recs
+        )[:fb_terms]
+        expanded = tokens + [t for _, t in scored]
+        doc_ids, scores = self.search_tokens(expanded, n)
+        return pa.table({
+            "rank": pa.array(np.arange(1, doc_ids.size + 1,
+                                       dtype=np.int32), pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+            "url": pa.array(self.urls_of(doc_ids), pa.string()),
+        })
+
     def search_snippets(self, query: str, n: int | None = None,
                         width: int = 8) -> pa.Table:
         """Top-n results with their best query-coverage window straight
