@@ -26,6 +26,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # -- shared fixtures -------------------------------------------------------
 
@@ -76,6 +77,40 @@ def _index_for(sf_dir: str, cfg) -> str:
             os.path.join(sf_dir, "documents.parquet"), out, cfg,
             id_column="doc_id", text_column="text", url_column=None,
         )
+    return out
+
+
+def _merged_index_for(sf_dir: str, cfg) -> str:
+    """Build (once, cached) TWO half-corpus indexes (doc_id parity
+    split) and merge them — the incremental-indexing path. Query
+    results must be bit-identical to a single full-corpus build, so
+    the merged index is verified against the search_bm25 oracle."""
+    from searchengine_ray.build.pipeline import MANIFEST_NAME, build_index
+    from searchengine_ray.build.merge_indexes import merge_indexes
+
+    key = hashlib.md5(
+        f"merged|{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/graft_indexes/{key}"
+    out = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        import pyarrow.parquet as _pq
+
+        docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        parity = pc.bit_wise_and(docs["doc_id"], 1)
+        os.makedirs(root, exist_ok=True)
+        halves = []
+        for p in (0, 1):
+            half = os.path.join(root, f"half{p}.parquet")
+            if not os.path.exists(half):
+                _pq.write_table(docs.filter(pc.equal(parity, p)),
+                                half + ".tmp")
+                os.replace(half + ".tmp", half)
+            idx = os.path.join(root, f"idx{p}")
+            build_index(half, idx, cfg, id_column="doc_id",
+                        text_column="text", url_column=None)
+            halves.append(idx)
+        merge_indexes(halves, out)
     return out
 
 
@@ -617,6 +652,13 @@ def _search_suite(idx: str, **searcher_kw) -> pa.Table:
 
 def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
+
+
+def _q_search_bm25_merged(sf_dir: str):
+    """BM25 suite over a MERGED index (two parity half-builds merged
+    by build/merge_indexes) — must equal the full-corpus oracle
+    bit-for-bit, proving the incremental-indexing path exact."""
+    return _search_suite(_merged_index_for(sf_dir, _full_cfg()))
 
 
 def _q_search_prf(sf_dir: str):
@@ -1183,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean": _q_search_boolean,
         "search_bm25": _q_search_bm25,
         "search_prf": _q_search_prf,
+        "search_bm25_merged": _q_search_bm25_merged,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1639,6 +1682,9 @@ def oracle_sql() -> dict[str, str]:
     out["search_bm25"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )
+    # a merged index must answer bit-identically to a full build, so it
+    # shares the full-corpus BM25 oracle verbatim
+    out["search_bm25_merged"] = out["search_bm25"]
     out["search_prf"] = oracles.sql_search_prf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
         fb_docs=3, fb_terms=5

@@ -510,6 +510,15 @@ class ShardWriter:
         bad_terms = np.unique(
             np.searchsorted(seg_starts, np.flatnonzero(bad), side="right") - 1
         )
+        if bad_terms.size and not flat_docs.flags.writeable:
+            # plasma-backed (shuffled) blocks give read-only zero-copy
+            # views; the repair below writes in place — copy only when
+            # both conditions hold (never in the spill-file build path)
+            flat_docs = flat_docs.copy()
+            flat_tfs = flat_tfs.copy()
+            flat_dls = flat_dls.copy()
+            if has_w:
+                flat_w = flat_w.copy()
         seg_order: dict[int, np.ndarray] = {}
         for k in bad_terms:
             fs, fe = int(seg_off[k]), int(seg_off[k + 1])

@@ -582,6 +582,13 @@ def main(argv=None) -> int:
     pan.add_argument("--overwrite", action="store_true")
     pst = sub.add_parser("index-stats")
     pst.add_argument("--search-index", required=True)
+    pm = sub.add_parser("merge-indexes",
+                        help="merge indexes built over disjoint "
+                             "document sets into one (exact: answers "
+                             "match a single full build bit-for-bit)")
+    pm.add_argument("--indexes", nargs="+", required=True)
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
@@ -605,7 +612,8 @@ def main(argv=None) -> int:
         raise SystemExit("curate --op dsir needs --target (domain value)")
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")
-    if args.cmd in ("dedup", "ann", "bulk", "curate", "analyze"):  # need Ray
+    if args.cmd in ("dedup", "ann", "bulk", "curate", "analyze",
+                    "merge-indexes"):  # need Ray
         import ray
 
         if not ray.is_initialized():
@@ -627,6 +635,17 @@ def main(argv=None) -> int:
         return cmd_analyze(args)
     if args.cmd == "index-stats":
         return cmd_index_stats(args)
+    if args.cmd == "merge-indexes":
+        import json as _json
+
+        from searchengine_ray.build.merge_indexes import merge_indexes
+
+        m = merge_indexes(args.indexes, args.output,
+                          overwrite=args.overwrite)
+        print(_json.dumps({"n_docs": m["corpus"]["n_docs"],
+                           "shards": len(m["shards"]),
+                           "metrics": m["metrics"]}))
+        return 0
     return cmd_search(args)
 
 

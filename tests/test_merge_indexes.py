@@ -1,0 +1,129 @@
+"""Index merge must be EXACT: searches over a merged index return
+bit-identical (doc_id, score) to a single build over the union corpus
+— for BM25, TF-IDF (doc weights) and positional (proximity boost)
+configs — and the guards (overlap, config mismatch) must fire."""
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.build.merge_indexes import merge_indexes
+from searchengine_ray.build.pipeline import build_index
+from searchengine_ray.config import IndexConfig, PostingType, RankerType
+from searchengine_ray.query.engine import Searcher
+
+QUERIES = ["alpha beta", "gamma rare7", "mid3 mid4 alpha", "missing zz"]
+
+
+def _corpus(n=300, seed=5):
+    rng = random.Random(seed)
+    vocab = (["alpha", "beta", "gamma"] + [f"mid{i}" for i in range(10)]
+             + [f"rare{i}" for i in range(30)])
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(4, 30)))
+             for _ in range(n)]
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(n)]),
+        "text": pa.array(texts, pa.large_string()),
+    })
+
+
+def _build_halves_and_union(tmp, corpus, cfg):
+    """Interleaved (parity) split — the adversarial case where doc-id
+    RANGES overlap but sets are disjoint."""
+    import pyarrow.compute as pc
+
+    paths = {}
+    for name, tbl in (
+        ("even", corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"],
+                                                        1), 0))),
+        ("odd", corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"],
+                                                       1), 1))),
+        ("all", corpus),
+    ):
+        p = str(tmp / f"{name}.parquet")
+        pq.write_table(tbl, p)
+        idx = str(tmp / f"idx_{name}")
+        build_index(p, idx, cfg, id_column="doc_id",
+                    text_column="text", url_column="url")
+        paths[name] = idx
+    merged = str(tmp / "merged")
+    merge_indexes([paths["even"], paths["odd"]], merged)
+    return merged, paths["all"]
+
+
+def _assert_same_searches(merged, union, positional=False):
+    sm, su = Searcher(merged), Searcher(union)
+    for q in QUERIES:
+        tm = sm.search(q, 20, with_urls=True)
+        tu = su.search(q, 20, with_urls=True)
+        assert tm["doc_id"].to_pylist() == tu["doc_id"].to_pylist(), q
+        assert tm["score"].to_pylist() == tu["score"].to_pylist(), q
+        assert tm["url"].to_pylist() == tu["url"].to_pylist(), q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_merge_bit_identical(tmp_path):
+    cfg = IndexConfig(num_shards=3, min_token_length=2,
+                      use_stop_words=False, language=None)
+    merged, union = _build_halves_and_union(tmp_path, _corpus(), cfg)
+    _assert_same_searches(merged, union)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_merge_bit_identical(tmp_path):
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None,
+                      ranker=RankerType.TF_IDF)
+    merged, union = _build_halves_and_union(tmp_path, _corpus(seed=7), cfg)
+    _assert_same_searches(merged, union)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_positional_merge_bit_identical(tmp_path):
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None,
+                      ranker=RankerType.BM25_OPTIMIZED,
+                      posting_type=PostingType.POSITIONAL)
+    merged, union = _build_halves_and_union(tmp_path, _corpus(seed=9), cfg)
+    _assert_same_searches(merged, union, positional=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shared_doc_ids_refused(tmp_path):
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None)
+    corpus = _corpus(100)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, p)
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(p, idx1, cfg, id_column="doc_id", text_column="text",
+                url_column="url")
+    build_index(p, idx2, cfg, id_column="doc_id", text_column="text",
+                url_column="url")
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_indexes([idx1, idx2], str(tmp_path / "m"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_mismatch_refused(tmp_path):
+    import pyarrow.compute as pc
+
+    corpus = _corpus(100)
+    even = corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"], 1), 0))
+    odd = corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"], 1), 1))
+    pe, po = str(tmp_path / "e.parquet"), str(tmp_path / "o.parquet")
+    pq.write_table(even, pe)
+    pq.write_table(odd, po)
+    i1, i2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(pe, i1, IndexConfig(num_shards=2, min_token_length=2,
+                                    use_stop_words=False, language=None),
+                id_column="doc_id", text_column="text", url_column="url")
+    build_index(po, i2, IndexConfig(num_shards=2, min_token_length=3,
+                                    use_stop_words=False, language=None),
+                id_column="doc_id", text_column="text", url_column="url")
+    # min_token_length differs → the tokenizer-config guard fires
+    with pytest.raises(ValueError, match="differs"):
+        merge_indexes([i1, i2], str(tmp_path / "m"))
