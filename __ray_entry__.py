@@ -654,6 +654,30 @@ def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
+def _q_search_bm25_deleted(sf_dir: str):
+    """BM25 suite after DELETING every odd doc_id from the full index
+    (build/merge_indexes.delete_docs) — must equal a build over the
+    even half bit-for-bit (oracle: the BM25 SQL over the filtered
+    documents view)."""
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.build.pipeline import MANIFEST_NAME
+    from searchengine_ray.build.merge_indexes import delete_docs
+
+    cfg = _full_cfg()
+    full = _index_for(sf_dir, cfg)
+    key = hashlib.md5(
+        f"deleted|{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
+    ).hexdigest()[:16]
+    out = f"/tmp/graft_indexes/{key}"
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        ids = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])["doc_id"]
+        odd = ids.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+        delete_docs(full, out, odd.to_pylist())
+    return _search_suite(out)
+
+
 def _q_search_bm25_merged(sf_dir: str):
     """BM25 suite over a MERGED index (two parity half-builds merged
     by build/merge_indexes) — must equal the full-corpus oracle
@@ -1226,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,
         "search_prf": _q_search_prf,
         "search_bm25_merged": _q_search_bm25_merged,
+        "search_bm25_deleted": _q_search_bm25_deleted,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1683,8 +1708,12 @@ def oracle_sql() -> dict[str, str]:
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )
     # a merged index must answer bit-identically to a full build, so it
-    # shares the full-corpus BM25 oracle verbatim
+    # shares the full-corpus BM25 oracle verbatim; a delete is the same
+    # query over the surviving rows
     out["search_bm25_merged"] = out["search_bm25"]
+    out["search_bm25_deleted"] = oracles.sql_over_filtered_documents(
+        out["search_bm25"], "doc_id % 2 = 0"
+    )
     out["search_prf"] = oracles.sql_search_prf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
         fb_docs=3, fb_terms=5

@@ -96,18 +96,30 @@ def _link_or_copy(src: str, dst: str) -> None:
 
 class _DecodeToSpill:
     """Shard records (one per term×salt×source) → spill-schema rows
-    under the TARGET boundaries. Stateless per batch; schema is fixed
-    by the config so every block agrees."""
+    under the TARGET boundaries, optionally dropping a sorted doc-id
+    set (the delete path). Stateless per batch; schema is fixed by the
+    config so every block agrees."""
 
     def __init__(self, boundaries: list[str], has_weights: bool,
-                 has_positions: bool):
+                 has_positions: bool,
+                 drop_sorted: np.ndarray | None = None):
         self.boundaries = boundaries
         self.has_weights = has_weights
         self.has_positions = has_positions
+        self.drop = drop_sorted
+
+    def _keep_mask(self, doc_ids: np.ndarray) -> np.ndarray | None:
+        if self.drop is None or not doc_ids.size:
+            return None
+        pos = np.searchsorted(self.drop, doc_ids)
+        valid = pos < self.drop.size
+        hit = np.zeros(doc_ids.size, bool)
+        hit[valid] = self.drop[pos[valid]] == doc_ids[valid]
+        return ~hit
 
     def __call__(self, b: pa.Table) -> pa.Table:
         n = b.num_rows
-        terms = b["term"]
+        keep_rows = []
         docs_l, tfs_l, dls_l, w_l, p_l, first = [], [], [], [], [], []
         for i in range(n):
             doc_ids, tfs, dls = decode_postings(
@@ -117,17 +129,35 @@ class _DecodeToSpill:
                 # boolean at-rest records: docs only (tf≡1, dl unused)
                 tfs = np.ones(doc_ids.size, np.int64)
                 dls = np.zeros(doc_ids.size, np.int64)
+            w = ([float(x) for x in b["weights"][i].as_py()]
+                 if self.has_weights else None)
+            p = None
+            if self.has_positions:
+                enc = b["positions_enc"][i].as_py()
+                p = (decode_positions(enc, len(doc_ids))
+                     if enc else [[]] * len(doc_ids))
+            mask = self._keep_mask(doc_ids)
+            if mask is not None:
+                doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if w is not None:
+                    w = [x for x, m in zip(w, mask) if m]
+                if p is not None:
+                    p = [x for x, m in zip(p, mask) if m]
+            if not doc_ids.size:
+                continue                      # term vanished entirely
+            keep_rows.append(i)
             docs_l.append(doc_ids)
             tfs_l.append(tfs.astype(np.int32))
             dls_l.append(dls.astype(np.int32))
-            first.append(int(doc_ids[0]) if doc_ids.size else 0)
+            first.append(int(doc_ids[0]))
             if self.has_weights:
-                w_l.append([float(x) for x in b["weights"][i].as_py()])
+                w_l.append(w)
             if self.has_positions:
-                enc = b["positions_enc"][i].as_py()
-                p_l.append(decode_positions(enc, len(doc_ids))
-                           if enc else [[]] * len(doc_ids))
-        shard = _shard_ids(terms.combine_chunks(), self.boundaries)
+                p_l.append(p)
+        terms = b["term"].take(pa.array(keep_rows, pa.int64()))
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        shard = _shard_ids(terms, self.boundaries)
         cols = {
             "gkey": pa.array(shard * MAX_SALTS, pa.int64()),
             "term": terms,
@@ -267,6 +297,160 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
         "metrics": {
             "merge_indexes_sec": round(time.perf_counter() - t0, 3),
             "source_indexes": len(index_dirs),
+        },
+    }
+    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    return manifest
+
+
+def delete_docs(index_dir: str, out_dir: str, doc_ids,
+                overwrite: bool = False) -> dict:
+    """Remove ``doc_ids`` from an index → a new index at ``out_dir``
+    that answers every query exactly as a fresh build over the
+    remaining corpus would (bit-identical scores): postings are
+    filtered, vanished terms dropped, idf recomputed from the new df
+    and doc count, avgdl/dldiv bounds re-folded from the surviving
+    docs, and the docmap (tokenized checkpoints) rewritten without the
+    deleted rows. With ``merge_indexes`` this completes the index
+    lifecycle: add = build shard + merge, remove = delete_docs — no
+    re-tokenization either way.
+
+    ``doc_ids`` is an explicit id set broadcast to every task, so it
+    must be driver-bounded (the GDPR-takedown / retraction shape —
+    thousands to millions of ids, not a corpus-scale predicate; for
+    predicate-scale removal, re-curate and rebuild instead)."""
+    import ray.data
+
+    from searchengine_ray.build.pipeline import MANIFEST_NAME, load_manifest
+
+    if os.path.exists(os.path.join(out_dir, MANIFEST_NAME)):
+        if not overwrite:
+            raise ValueError(
+                f"{out_dir} already holds an index; pass overwrite=True")
+        shutil.rmtree(out_dir)
+    t0 = time.perf_counter()
+    manifest_in = load_manifest(index_dir)
+    cfg = IndexConfig.from_manifest(manifest_in["config"])
+    boundaries = manifest_in["boundaries"]
+    drop = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+
+    # -- pass 1: docmap rewrite + exact surviving-corpus stats --------
+    tok_dir = os.path.join(out_dir, "tokenized")
+    stats_dir = os.path.join(out_dir, "tokenized_stats")
+    os.makedirs(tok_dir, exist_ok=True)
+    os.makedirs(stats_dir, exist_ok=True)
+    src_files = sorted(glob.glob(os.path.join(index_dir, "tokenized",
+                                              "*.parquet")))
+    if not src_files:
+        raise ValueError(f"{index_dir}: no tokenized checkpoints")
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        outs = []
+        for src in b["src"].to_pylist():
+            t = pq.read_table(src)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(drop, ids)
+            valid = pos < drop.size
+            hit = np.zeros(ids.size, bool)
+            hit[valid] = drop[pos[valid]] == ids[valid]
+            kept = t.filter(pa.array(~hit))
+            dst = os.path.join(tok_dir, os.path.basename(src))
+            dls = kept["dl"].to_numpy(zero_copy_only=False) \
+                if kept.num_rows else np.empty(0, np.int64)
+            stats = {
+                "docs": int(kept.num_rows),
+                "postings": int(pc.sum(
+                    pc.list_value_length(kept["terms"])).as_py() or 0),
+                "sum_dl": int(dls.sum()),
+                "min_dl": int(dls.min()) if dls.size else 0,
+                "max_dl": int(dls.max()) if dls.size else 0,
+            }
+            if kept.num_rows:
+                tmp = dst + f".tmp{os.getpid()}"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, dst)
+                sp = os.path.join(
+                    stats_dir,
+                    os.path.basename(src).removesuffix(".parquet")
+                    + ".stats.json")
+                with open(sp + ".tmp", "w") as fh:
+                    json.dump(stats, fh)
+                os.replace(sp + ".tmp", sp)
+            outs.append(stats)
+        return pa.table({
+            "docs": pa.array([o["docs"] for o in outs], pa.int64()),
+            "sum_dl": pa.array([o["sum_dl"] for o in outs], pa.int64()),
+            "min_dl": pa.array([o["min_dl"] for o in outs], pa.int64()),
+            "max_dl": pa.array([o["max_dl"] for o in outs], pa.int64()),
+        })
+
+    parts = (
+        ray.data.from_arrow(pa.table({"src": pa.array(src_files)}))
+        .repartition(len(src_files))
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=None,
+                     num_cpus=1)
+        .take_all()
+    )
+    n_docs = sum(p["docs"] for p in parts)
+    total_dl = sum(p["sum_dl"] for p in parts)
+    avgdl = total_dl / n_docs if n_docs else 0.0
+    nonempty = [p for p in parts if p["docs"]]
+    min_dl = min((p["min_dl"] for p in nonempty), default=0)
+    max_dl = max((p["max_dl"] for p in nonempty), default=0)
+
+    # -- pass 2: posting filter + re-shard -----------------------------
+    shard_files = [s["file"] for s in manifest_in["shards"]]
+    has_w = cfg.ranker in (RankerType.TF_IDF, RankerType.TF_IDF_OPTIMIZED)
+    has_p = cfg.posting_type == PostingType.POSITIONAL
+    shard_dir = os.path.join(out_dir, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    writer = ShardWriter(shard_dir, cfg, n_docs, hot_df={})
+
+    def write_group(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    shard_stats = (
+        ray.data.read_parquet(shard_files)
+        .map_batches(_DecodeToSpill(boundaries, has_w, has_p,
+                                    drop_sorted=drop),
+                     batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+
+    manifest = {
+        "version": 1,
+        "config": manifest_in["config"],
+        "tokenizer": manifest_in["tokenizer"],
+        "corpus": {
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "avgdl": avgdl,
+            "min_dldiv": round(min_dl / avgdl, 3) if avgdl else 0.0,
+            "max_dldiv": round(max_dl / avgdl, 3) if avgdl else 0.0,
+            "n_input_rows": n_docs,
+        },
+        "lineage": {
+            "deleted_from": index_dir,
+            "n_requested_deletes": int(drop.size),
+            "stage_version": 1,
+        },
+        "boundaries": boundaries,
+        "hot_df": {},
+        "hot_salt_of": {},
+        "shards": [
+            {"shard": int(r["shard"]), "salt": int(r["salt"]),
+             "file": r["file"], "n_terms": int(r["n_terms"]),
+             "n_postings": int(r["n_postings"])}
+            for r in sorted(shard_stats,
+                            key=lambda r: (r["shard"], r["salt"]))
+        ],
+        "metrics": {
+            "delete_docs_sec": round(time.perf_counter() - t0, 3),
         },
     }
     tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")

@@ -589,6 +589,17 @@ def main(argv=None) -> int:
     pm.add_argument("--indexes", nargs="+", required=True)
     pm.add_argument("--output", required=True)
     pm.add_argument("--overwrite", action="store_true")
+    pdl = sub.add_parser("delete-docs",
+                         help="remove documents from an index into a "
+                              "new index (exact: answers match a fresh "
+                              "build over the survivors)")
+    pdl.add_argument("--search-index", required=True)
+    pdl.add_argument("--output", required=True)
+    pdl.add_argument("--doc-ids", type=int, nargs="*", default=None)
+    pdl.add_argument("--doc-ids-file", default=None,
+                     help="newline-separated doc ids (for big takedown "
+                          "lists)")
+    pdl.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--min-count", type=int, default=1,
                      help="lm: prune bigrams below this count before "
                           "the broadcast (the web-scale knob)")
@@ -613,7 +624,7 @@ def main(argv=None) -> int:
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")
     if args.cmd in ("dedup", "ann", "bulk", "curate", "analyze",
-                    "merge-indexes"):  # need Ray
+                    "merge-indexes", "delete-docs"):  # need Ray
         import ray
 
         if not ray.is_initialized():
@@ -642,6 +653,24 @@ def main(argv=None) -> int:
 
         m = merge_indexes(args.indexes, args.output,
                           overwrite=args.overwrite)
+        print(_json.dumps({"n_docs": m["corpus"]["n_docs"],
+                           "shards": len(m["shards"]),
+                           "metrics": m["metrics"]}))
+        return 0
+    if args.cmd == "delete-docs":
+        import json as _json
+
+        from searchengine_ray.build.merge_indexes import delete_docs
+
+        ids = list(args.doc_ids or [])
+        if args.doc_ids_file:
+            with open(args.doc_ids_file) as fh:
+                ids.extend(int(x) for x in fh.read().split())
+        if not ids:
+            raise SystemExit("delete-docs needs --doc-ids or "
+                             "--doc-ids-file")
+        m = delete_docs(args.search_index, args.output, ids,
+                        overwrite=args.overwrite)
         print(_json.dumps({"n_docs": m["corpus"]["n_docs"],
                            "shards": len(m["shards"]),
                            "metrics": m["metrics"]}))

@@ -92,6 +92,57 @@ def test_positional_merge_bit_identical(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_delete_docs_bit_identical(tmp_path):
+    """delete_docs(full, odd ids) must equal a fresh build over the
+    even half — for the positional config too (positions re-encoded)."""
+    from searchengine_ray.build.merge_indexes import delete_docs
+
+    import pyarrow.compute as pc
+
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None,
+                      ranker=RankerType.BM25_OPTIMIZED,
+                      posting_type=PostingType.POSITIONAL)
+    corpus = _corpus(seed=13)
+    full_p = str(tmp_path / "all.parquet")
+    even_p = str(tmp_path / "even.parquet")
+    pq.write_table(corpus, full_p)
+    pq.write_table(
+        corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"], 1), 0)),
+        even_p)
+    full_i, even_i = str(tmp_path / "ifull"), str(tmp_path / "ieven")
+    build_index(full_p, full_i, cfg, id_column="doc_id",
+                text_column="text", url_column="url")
+    build_index(even_p, even_i, cfg, id_column="doc_id",
+                text_column="text", url_column="url")
+    deleted = str(tmp_path / "ideleted")
+    odd = [i for i in range(corpus.num_rows) if i % 2]
+    delete_docs(full_i, deleted, odd)
+    _assert_same_searches(deleted, even_i, positional=True)
+    # deleted docs are gone from the docmap too
+    s = Searcher(deleted)
+    with pytest.raises(KeyError):
+        s.doc_terms(1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delete_nothing_is_identity(tmp_path):
+    from searchengine_ray.build.merge_indexes import delete_docs
+
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None)
+    corpus = _corpus(120, seed=3)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, p)
+    idx = str(tmp_path / "i")
+    build_index(p, idx, cfg, id_column="doc_id", text_column="text",
+                url_column="url")
+    out = str(tmp_path / "o")
+    delete_docs(idx, out, [10_000, 10_001])   # ids not in the corpus
+    _assert_same_searches(out, idx)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shared_doc_ids_refused(tmp_path):
     cfg = IndexConfig(num_shards=2, min_token_length=2,
                       use_stop_words=False, language=None)
