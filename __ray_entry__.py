@@ -253,6 +253,21 @@ def _q_dsir_scores(sf_dir: str):
     return dsir_scores(ds, target_value="src0")
 
 
+def _q_dsir_sample(sf_dir: str):
+    """Gumbel top-k DSIR sampling (∝ exp(score), T=1): stochastic
+    diversity-preserving variant of dsir_select; deterministic via
+    salted-hash uniforms."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dsir import dsir_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return dsir_sample(ds, target_value="src0", k=50)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing (SIGMOD'03) local fingerprints: doc-local stacked-
     shift sliding min over FNV k-gram hashes; no shuffle."""
@@ -1226,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_expansion": _q_query_expansion,
         "dsir_scores": _q_dsir_scores,
         "dsir_select": _q_dsir_select,
+        "dsir_sample": _q_dsir_sample,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "events_props_hist": _q_events_props_hist,
@@ -1694,6 +1710,19 @@ def oracle_sql() -> dict[str, str]:
     out["dsir_select"] = (
         f"SELECT * FROM ({out['dsir_scores']}) "
         "ORDER BY dsir_q6 DESC, doc_id ASC LIMIT 50"
+    )
+    out["dsir_sample"] = (
+        f"WITH sc AS MATERIALIZED ({out['dsir_scores']}), "
+        "h0 AS (SELECT doc_id, dsir_q6, "
+        + oracles.fnv_expr("('gsample:' || doc_id::VARCHAR)")
+        + " AS h FROM sc), "
+        + oracles.splitmix_ctes("h0", "doc_id, dsir_q6, ")
+        + ", kk AS (SELECT doc_id, dsir_q6, "
+        "(dsir_q6::DOUBLE / 1000000.0) / 1.0 "
+        f"- ln(-ln((h::DOUBLE + 0.5) / {oracles.U64}.0)) AS key FROM mx) "
+        "SELECT doc_id, dsir_q6, "
+        "CAST(round(key * 1000000) AS BIGINT) AS key_q6 "
+        "FROM kk ORDER BY key DESC, doc_id ASC LIMIT 50"
     )
     from searchengine_ray.query.boolexpr import parse, to_sql_condition
 

@@ -305,13 +305,20 @@ def cmd_curate_op(args) -> int:
                                    columns=["doc_id", "text"])
         out = span_dedup(ds, span_tokens=args.span_tokens)
     elif args.op == "dsir":
-        from searchengine_ray.pipelines.dsir import dsir_scores
+        from searchengine_ray.pipelines.dsir import dsir_sample, dsir_scores
 
         ds = ray.data.read_parquet(
             args.documents, columns=["doc_id", "text", args.host_column])
-        out = dsir_scores(ds, target_value=args.target,
-                          target_col=args.host_column,
-                          min_count=args.min_count)
+        if args.sample_k:
+            out = dsir_sample(ds, target_value=args.target,
+                              target_col=args.host_column,
+                              k=args.sample_k,
+                              temperature=args.temperature,
+                              min_count=args.min_count)
+        else:
+            out = dsir_scores(ds, target_value=args.target,
+                              target_col=args.host_column,
+                              min_count=args.min_count)
     else:
         ds = ray.data.read_parquet(args.documents,
                                    columns=["doc_id", "text"])
@@ -370,6 +377,8 @@ def cmd_curate_op(args) -> int:
 
             out = ds.map_batches(repetition_stats_batch,
                                  batch_format="pyarrow")
+    if not hasattr(out, "write_parquet"):   # driver-bounded pa.Table
+        out = ray.data.from_arrow(out)
     out.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
     print(_json.dumps({"op": args.op, "rows": n, "output": args.output}))
@@ -615,6 +624,11 @@ def main(argv=None) -> int:
                           "packs never cross partitions)")
     pc_.add_argument("--span-tokens", type=int, default=4,
                      help="spandedup: tile size in whitespace tokens")
+    pc_.add_argument("--sample-k", type=int, default=0,
+                     help="dsir: Gumbel top-k sample this many docs "
+                          "(∝ exp(score/T)) instead of emitting scores")
+    pc_.add_argument("--temperature", type=float, default=1.0,
+                     help="dsir --sample-k: sampling temperature")
     args = ap.parse_args(argv)
     if args.cmd == "analyze" and args.op in ("fuzzy", "expand") \
             and not args.terms:

@@ -193,3 +193,76 @@ def dsir_select(docs_ds, target_value: str, k: int = 50,
     sc = t["dsir_q6"].to_numpy(zero_copy_only=False)
     top = np.lexsort((doc, -sc))[:k]
     return t.take(pa.array(top, pa.int64()))
+
+
+def _gumbel_prune_batch(b: pa.Table, k: int, salt: str,
+                        temperature: float) -> pa.Table:
+    """Per-batch top-(k+8) prune on the Gumbel keys (vectorized np.log;
+    the driver recomputes survivors with math.log for oracle parity)."""
+    import pyarrow.compute as pc
+
+    from searchengine_ray.pipelines.analysis import _splitmix64
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    keys = pc.binary_join_element_wise(
+        pa.array([f"{salt}:"] * b.num_rows, pa.string()),
+        b["doc_id"].cast(pa.string()), "",
+    )
+    h = _splitmix64(_hash_tokens(keys))
+    u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
+    sc = b["dsir_q6"].to_numpy(zero_copy_only=False)
+    key = (sc / 1e6) / temperature - np.log(-np.log(u))
+    doc = b["doc_id"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((doc, -key))[:k + 8]
+    return pa.table({
+        "doc_id": pa.array(doc[top], pa.int64()),
+        "dsir_q6": pa.array(sc[top], pa.int64()),
+        "h": pa.array(h[top].view(np.int64), pa.int64()),
+    })
+
+
+def dsir_sample(docs_ds, target_value: str, k: int = 50,
+                temperature: float = 1.0, salt: str = "gsample",
+                target_col: str = "source", **kw) -> pa.Table:
+    """→ pa.Table (doc_id, dsir_q6, key_q6): GUMBEL TOP-K sampling on
+    the DSIR scores — k documents drawn WITHOUT replacement with
+    probability ∝ exp(score / temperature) (the Gumbel-max trick:
+    top-k of score/T + G_i, G_i = −ln(−ln(u_i))). Where ``dsir_select``
+    takes the k highest scores deterministically, this trades score
+    for diversity under a temperature knob, which is how DSIR-style
+    selection is actually deployed (greedy top-k overfits the target
+    domain's head). u_i derives from splitmix64(FNV64(salt||doc_id)) —
+    no RNG state, partition-independent, a new salt is a fresh draw.
+
+    Scale shape: one scoring pass + per-batch top-(k+8) prune →
+    k × n_blocks driver fold (prune-safe: the global top-k by key is
+    contained in the union of per-batch top-ks); k driver-bounded.
+    Float parity with the DuckDB oracle: u is a power-of-two scaling
+    of an integer hash, both ln calls are the same libm, divide/add
+    are IEEE — the driver recomputes survivor keys with math.log."""
+    import math
+
+    parts = dsir_scores(docs_ds, target_value, target_col, **kw) \
+        .map_batches(_gumbel_prune_batch,
+                     fn_kwargs={"k": int(k), "salt": salt,
+                                "temperature": float(temperature)},
+                     batch_format="pyarrow").take_all()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dsir_q6": pa.array([], pa.int64()),
+                      "key_q6": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    doc = np.asarray([r["doc_id"] for r in parts], np.int64)
+    sc = np.asarray([r["dsir_q6"] for r in parts], np.int64)
+    h = np.asarray([r["h"] for r in parts], np.int64).view(np.uint64)
+    g = np.asarray(
+        [-math.log(-math.log((int(x) + 0.5) / 2.0 ** 64)) for x in h],
+        np.float64)
+    key = (sc / 1e6) / temperature + g
+    top = np.lexsort((doc, -key))[:k]
+    return pa.table({
+        "doc_id": pa.array(doc[top], pa.int64()),
+        "dsir_q6": pa.array(sc[top], pa.int64()),
+        "key_q6": pa.array(np.round(key[top] * 1e6).astype(np.int64),
+                           pa.int64()),
+    })

@@ -96,3 +96,37 @@ def test_dsir_min_count_floors_to_oov():
     assert kept == {t for t, c in full.items() if c >= 3}
     assert len(q) == len(kept)
     assert isinstance(q_oov, int)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_sample_gumbel():
+    from searchengine_ray.pipelines.dsir import dsir_sample, dsir_select
+
+    # partitioning-independent and deterministic
+    a = dsir_sample(_ds(TEXTS, SOURCES, 1), target_value="wiki",
+                    k=3).to_pylist()
+    b = dsir_sample(_ds(TEXTS, SOURCES, 5), target_value="wiki",
+                    k=3).to_pylist()
+    assert a == b and len(a) == 3
+    # a different salt is an independent draw over the same scores
+    c = dsir_sample(_ds(TEXTS, SOURCES, 3), target_value="wiki",
+                    k=3, salt="other").to_pylist()
+    assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a} or \
+        [r["key_q6"] for r in c] != [r["key_q6"] for r in a]
+    # the key decomposes as score/T + gumbel(salted hash): recompute
+    import math
+
+    from searchengine_ray.pipelines.analysis import _splitmix64
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    for r in a:
+        h = int(_splitmix64(_hash_tokens(
+            pa.array([f"gsample:{r['doc_id']}"])))[0])
+        g = -math.log(-math.log((h + 0.5) / 2.0 ** 64))
+        want = int(np.round((r["dsir_q6"] / 1e6 / 1.0 + g) * 1e6))
+        assert r["key_q6"] == want
+    # temperature -> 0 degrades to greedy top-k (argmax by score)
+    greedy = dsir_select(_ds(TEXTS, SOURCES), target_value="wiki", k=3)
+    cold = dsir_sample(_ds(TEXTS, SOURCES), target_value="wiki", k=3,
+                       temperature=1e-9)
+    assert cold["doc_id"].to_pylist() == greedy["doc_id"].to_pylist()
