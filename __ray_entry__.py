@@ -357,6 +357,21 @@ def _q_exact_sample(sf_dir: str):
     return exact_sample(_docs_ds(sf_dir), k=100)
 
 
+def _q_group_sample(sf_dir: str):
+    """Exact k-per-language sample (k smallest salted hashes per
+    group): balanced eval-set draw, deterministic, prune + bounded
+    driver fold."""
+    import ray.data
+
+    from searchengine_ray.pipelines.curate import group_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    return group_sample(ds, k=25, group_col="lang")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact-size weighted sample WITHOUT replacement (Efraimidis-
     Spirakis A-ES keys from a salted hash): inclusion probability
@@ -1308,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "exact_sample": _q_exact_sample,
         "weighted_sample": _q_weighted_sample,
+        "group_sample": _q_group_sample,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
     }
@@ -1705,6 +1721,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM h ORDER BY hu ASC, doc_id ASC LIMIT 100"
     )
     out["weighted_sample"] = oracles.sql_weighted_sample(k=64)
+    out["group_sample"] = (
+        "WITH h AS (SELECT lang, doc_id, "
+        + oracles.fnv_expr("('pergroup:' || doc_id::VARCHAR)")
+        + " AS hu FROM documents), "
+        "r AS (SELECT lang, doc_id, hu, row_number() OVER "
+        "(PARTITION BY lang ORDER BY hu ASC, doc_id ASC) AS rn FROM h) "
+        "SELECT lang AS \"group\", doc_id, "
+        "(CASE WHEN hu >= 9223372036854775808::HUGEINT "
+        "THEN hu::HUGEINT - 18446744073709551616::HUGEINT "
+        "ELSE hu::HUGEINT END)::BIGINT AS h "
+        "FROM r WHERE rn <= 25"
+    )
     out["winnow_fingerprints"] = oracles.sql_winnow_fingerprints(pclass)
     out["winnow_pairs"] = oracles.sql_winnow_pairs(pclass)
     out["dsir_select"] = (

@@ -500,6 +500,69 @@ def span_dedup(docs_ds, span_tokens: int = 4):
         .groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
 
 
+def group_sample(docs_ds, k: int, group_col: str = "lang",
+                 salt: str = "pergroup") -> pa.Table:
+    """→ pa.Table (group, doc_id, h): an EXACT-size-k-PER-GROUP
+    deterministic uniform sample — within each group (language,
+    domain, ...), the k documents with the smallest salted FNV hash
+    (ties doc_id asc). The balanced-eval-set draw: where
+    ``stratified_sample`` keeps an expected FRACTION per group and
+    ``exact_sample`` k documents overall, this pins k per group with
+    no RNG state and no partitioning/ordering dependence.
+
+    Scale shape: per-batch per-group top-k prune (global per-group
+    top-k ⊆ union of per-batch per-group top-ks) → driver fold of
+    ≤ k × groups × blocks rows; k and the group cardinality must be
+    driver-bounded (languages/domains, not user ids)."""
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    def topk_batch(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array([f"{salt}:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        h = _hash_tokens(keys).view(np.int64)
+        hs = h ^ np.int64(-2 ** 63)      # unsigned sort order
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        grp = np.asarray(b[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((doc, hs, grp))
+        g_s = grp[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g_s[1:] != g_s[:-1]) + 1))
+        ends = np.append(starts[1:], g_s.size)
+        keep = np.concatenate([order[s:min(s + k, e)]
+                               for s, e in zip(starts, ends)]) \
+            if g_s.size else np.empty(0, np.int64)
+        return pa.table({
+            "group": pa.array(grp[keep].tolist(), pa.string()),
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "h": pa.array(h[keep], pa.int64()),
+        })
+
+    parts = docs_ds.map_batches(topk_batch,
+                                batch_format="pyarrow").take_all()
+    empty = pa.table({"group": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    grp = np.asarray([r["group"] for r in parts], dtype=object)
+    doc = np.asarray([r["doc_id"] for r in parts], np.int64)
+    h = np.asarray([r["h"] for r in parts], np.int64)
+    hs = h ^ np.int64(-2 ** 63)
+    order = np.lexsort((doc, hs, grp))
+    g_s = grp[order]
+    starts = np.concatenate(([0], np.flatnonzero(g_s[1:] != g_s[:-1]) + 1))
+    ends = np.append(starts[1:], g_s.size)
+    keep = np.concatenate([order[s:min(s + k, e)]
+                           for s, e in zip(starts, ends)])
+    return pa.table({
+        "group": pa.array(grp[keep].tolist(), pa.string()),
+        "doc_id": pa.array(doc[keep], pa.int64()),
+        "h": pa.array(h[keep], pa.int64()),
+    })
+
+
 def weighted_sample(docs_ds, k: int, salt: str = "wsample") -> pa.Table:
     """→ pa.Table (doc_id, w, key_q6): EXACT-size weighted sampling
     WITHOUT replacement (Efraimidis & Spirakis 2006, algorithm A-ES):

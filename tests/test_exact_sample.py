@@ -34,3 +34,30 @@ def test_salt_changes_sample_and_k_overflow():
     assert len(other) == 40
     allrows = exact_sample(_ds(30, 4), k=100).to_pylist()
     assert sorted(r["doc_id"] for r in allrows) == list(range(30))
+
+
+def _gds(n, parts):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en" if i % 3 else "de" for i in range(n)],
+                         pa.string()),
+    })).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_sample_exact_per_group_and_partition_independent():
+    from searchengine_ray.pipelines.curate import group_sample
+
+    a = group_sample(_gds(300, 1), k=10).to_pylist()
+    b = group_sample(_gds(300, 7), k=10).to_pylist()
+    assert a == b
+    from collections import Counter
+
+    c = Counter(r["group"] for r in a)
+    assert c == {"en": 10, "de": 10}
+    # k larger than a group: the whole group comes back
+    small = group_sample(_gds(12, 3), k=10).to_pylist()  # de has 4 docs
+    cc = Counter(r["group"] for r in small)
+    assert cc["de"] == 4 and cc["en"] == 8
