@@ -1055,6 +1055,36 @@ def _q_search_phrase(sf_dir: str):
     })
 
 
+PROX_SLOP = 2
+
+
+def _q_search_proximity(sf_dir: str):
+    """Ordered proximity top-10 (terms in order within a slop-2
+    window) over the positional index; integer match counts."""
+    from searchengine_ray.config import PostingType, RankerType
+    from searchengine_ray.query.engine import Searcher
+
+    idx = _index_for(
+        sf_dir,
+        _full_cfg(ranker=RankerType.BM25_OPTIMIZED,
+                  posting_type=PostingType.POSITIONAL),
+    )
+    s = Searcher(idx)
+    qids, ranks, docs, matches = [], [], [], []
+    for qid, q in enumerate(PHRASE_QUERIES):
+        t = s.search_proximity(q, TOPK, slop=PROX_SLOP)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        matches.extend(t["n_matches"].to_pylist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_matches": pa.array(matches, pa.int64()),
+    })
+
+
 LM_ADD_K = 0.5
 
 
@@ -1296,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_hungarian": _q_search_bm25_hungarian,
         "search_bm25_finnish": _q_search_bm25_finnish,
         "search_phrase": _q_search_phrase,
+        "search_proximity": _q_search_proximity,
         "repetition_stats": _q_repetition_stats,
         "host_cap": _q_host_cap,
         "pii_redact": _q_pii_redact,
@@ -1829,6 +1860,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_phrase"] = oracles.sql_search_phrase(
         pclass, PHRASE_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_proximity"] = oracles.sql_search_proximity(
+        pclass, PHRASE_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
+        slop=PROX_SLOP
     )
     out["repetition_stats"] = oracles.sql_repetition_stats(pclass)
     out["host_cap"] = oracles.sql_host_cap(HOST_CAP)

@@ -114,6 +114,15 @@ def cmd_search(args) -> int:
         if args.prf:
             return s.search_prf(q, args.n, fb_docs=args.prf_docs,
                                 fb_terms=args.prf_terms)
+        if args.proximity is not None:
+            res = s.search_proximity(q, args.n, slop=args.proximity)
+            ids = res["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "rank": res["rank"],
+                "doc_id": res["doc_id"],
+                "score": res["n_matches"].cast(pa.float64()),
+                "url": pa.array(s.urls_of(ids), pa.string()),
+            })
         return s.search(q, args.n)
 
     def _show(row: dict) -> None:
@@ -504,6 +513,10 @@ def main(argv=None) -> int:
                     "re-rank")
     ps.add_argument("--prf-docs", type=int, default=3)
     ps.add_argument("--prf-terms", type=int, default=5)
+    ps.add_argument("--proximity", type=int, default=None, metavar="SLOP",
+                    help="ordered proximity query: terms in order "
+                         "within a window padded by SLOP (0 = exact "
+                         "phrase; positional index only)")
     ps.add_argument("--more-like", type=int, default=None,
                     help="similar-document query: use this doc_id's "
                          "top tf-idf terms instead of --query")

@@ -138,6 +138,16 @@ class Searcher:
 
         return phrase_search(self, query, n or self.cfg.default_top_k)
 
+    def search_proximity(self, query: str, n: int | None = None,
+                         slop: int = 2) -> pa.Table:
+        """Ordered proximity query (terms in order within a slop-padded
+        window) over a positional index → (rank, doc_id, n_matches);
+        see query/phrase.py::proximity_search."""
+        from searchengine_ray.query.phrase import proximity_search
+
+        return proximity_search(self, query, n or self.cfg.default_top_k,
+                                slop)
+
     def search_boolean_expr(self, expr: str,
                             n: int | None = None) -> pa.Table:
         """Boolean AND/OR/NOT retrieval over the posting lists →

@@ -97,3 +97,68 @@ def phrase_search(searcher, query: str, n: int = 10) -> pa.Table:
     counts = np.bincount((survivors >> _SHIFT).astype(np.int64),
                          minlength=cand.size)
     return _rank(cand, counts, n)
+
+
+def proximity_search(searcher, query: str, n: int = 10,
+                     slop: int = 2) -> pa.Table:
+    """→ (rank, doc_id, n_matches): ordered proximity match — the
+    tokenized query's terms occur IN ORDER at strictly increasing
+    positions p1 < … < pk with p_k − p1 ≤ (k−1) + ``slop`` (slop = 0
+    degrades to the exact phrase). ``n_matches`` counts distinct start
+    positions from which such a chain exists.
+
+    Existence is decided GREEDILY and that is exact: advancing each
+    term to its smallest admissible position minimizes p_k, so a chain
+    from a start exists iff the greedy chain meets the window bound.
+    Same lazy candidate-only position decode as ``phrase_search``."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    tokens = searcher.tokenizer.tokenize(query)
+    if not tokens:
+        return _empty_result()
+    recs = searcher.reader.fetch(tokens)
+    rs = [recs.get(t) for t in tokens]
+    if any(r is None for r in rs):
+        return _empty_result()
+    if any(r.positions is None for r in rs):
+        raise ValueError(
+            "proximity search needs a positional index (build with "
+            "posting_type=POSITIONAL)"
+        )
+    if len(tokens) == 1:
+        r = rs[0]
+        return _rank(r.doc_ids, r.tfs.astype(np.int64), n)
+
+    cand = rs[int(np.argmin([r.doc_ids.size for r in rs]))].doc_ids
+    for r in rs:
+        if cand.size == 0:
+            return _empty_result()
+        idx = np.searchsorted(r.doc_ids, cand)
+        np.clip(idx, 0, max(0, r.doc_ids.size - 1), out=idx)
+        cand = cand[r.doc_ids[idx] == cand]
+    if cand.size == 0:
+        return _empty_result()
+
+    keys = []
+    for r in rs:
+        rows = np.searchsorted(r.doc_ids, cand)
+        flat, lens, _ = r.positions_slices(rows)
+        doc_idx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        keys.append((doc_idx << _SHIFT) | flat.astype(np.int64))
+
+    start = keys[0]
+    cur = keys[0]
+    for k in keys[1:]:
+        if cur.size == 0:
+            return _empty_result()
+        idx = np.searchsorted(k, cur + 1)   # greedy: smallest pos > cur
+        valid = idx < k.size
+        np.clip(idx, 0, max(0, k.size - 1), out=idx)
+        nxt = k[idx]
+        keep = valid & ((nxt >> _SHIFT) == (cur >> _SHIFT))
+        start, cur = start[keep], nxt[keep]
+    window = np.int64(len(tokens) - 1 + slop)
+    ok = (cur - start) <= window            # same doc → position delta
+    counts = np.bincount((start[ok] >> _SHIFT).astype(np.int64),
+                         minlength=cand.size)
+    return _rank(cand, counts, n)
