@@ -636,6 +636,18 @@ def _q_events_asof(sf_dir: str):
     return asof_join_latest(ds, left_type="click", right_type="view")
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Spherical k-means clustering of the embeddings table (the IVF
+    trainer exposed as an operator): deterministic sample-trained
+    centroids, one shuffle-free assignment pass."""
+    import ray.data
+
+    from searchengine_ray.pipelines.similarity import embedding_clusters
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_clusters(ds, n_centroids=8)
+
+
 def _q_ann_cosine(sf_dir: str):
     import ray.data
 
@@ -1357,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": _q_group_sample,
         "dup_clusters": _q_dup_clusters,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "embedding_clusters": _q_embedding_clusters,
     }
 
 
@@ -1905,6 +1918,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["ivf_ann_topk"] = oracles.sql_ivf_topk(
         [0, 1, 2], k=5, n_centroids=8, nprobe=4
+    )
+    out["embedding_clusters"] = oracles.sql_embedding_clusters(
+        n_centroids=8
     )
     out["search_boolean"] = oracles.sql_search_boolean(pclass, SEARCH_QUERIES)
     out["jaccard_dedup"] = oracles.sql_jaccard_dedup(pclass)

@@ -177,6 +177,56 @@ def _kmeans_deterministic(sample: np.ndarray, k: int, iters: int = 8):
     return centroids
 
 
+def _train_centroids(embeddings_ds, n_centroids: int, sample_cap: int,
+                     n_total: int, iters: int = 8) -> np.ndarray:
+    """Deterministic k-means centroids from an id-strided sample
+    (shared by ivf_build and embedding_clusters)."""
+    stride = max(1, n_total // sample_cap)
+
+    def take_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % stride == 0),
+                                   pa.int64()))
+
+    sample_rows = embeddings_ds.map_batches(
+        take_sample, batch_format="pyarrow"
+    ).take_all()
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    sample_rows = sample_rows[:sample_cap]
+    sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
+                               dtype=np.float64))
+    return _kmeans_deterministic(sm, n_centroids, iters=iters)
+
+
+def embedding_clusters(embeddings_ds, n_centroids: int = 8,
+                       sample_cap: int = 2048, iters: int = 8):
+    """→ Dataset (vec_id, cell): spherical k-means clustering of the
+    embedding column — deterministic Lloyd's over an id-strided sample
+    (seed-free, partitioning-independent), then ONE shuffle-free
+    assignment pass with the tiny centroid matrix in the task closure.
+    The clustering that IVF uses internally, exposed as a first-class
+    operator (corpus bucketing, topic grouping, dedup blocking).
+
+    Assignment is dot-product argmax with ties to the lowest centroid;
+    the DuckDB oracle unrolls the identical iteration. (Last-ulp dot
+    ties between two centroids could in principle differ across
+    summation orders — the same documented tolerance as the IVF
+    oracle, which has stayed hash-green.)"""
+    n_total = embeddings_ds.count()
+    centroids = _train_centroids(embeddings_ds, n_centroids, sample_cap,
+                                 n_total, iters=iters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch))
+        cells = (m @ centroids.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cell": pa.array(cells, pa.int64()),
+        })
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_build(embeddings_ds, out_dir: str, n_centroids: int = 16,
               sample_cap: int = 2048, overwrite: bool = False) -> dict:
     """Build the PERSISTED IVF layout once (round-2 VERDICT #5): a
@@ -198,21 +248,8 @@ def ivf_build(embeddings_ds, out_dir: str, n_centroids: int = 16,
         # the embeddings set changed under an existing index dir (e.g.
         # an explicit CLI --ivf-index) — serving the stale cells would
         # be silently wrong; rebuild (cells are derived data)
-    stride = max(1, n_total // sample_cap)
-
-    def take_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return batch.take(pa.array(np.flatnonzero(ids % stride == 0),
-                                   pa.int64()))
-
-    sample_rows = embeddings_ds.map_batches(
-        take_sample, batch_format="pyarrow"
-    ).take_all()
-    sample_rows.sort(key=lambda r: r["vec_id"])
-    sample_rows = sample_rows[:sample_cap]
-    sm = _normalize(np.asarray([r["embedding"] for r in sample_rows],
-                               dtype=np.float64))
-    centroids = _kmeans_deterministic(sm, n_centroids)
+    centroids = _train_centroids(embeddings_ds, n_centroids, sample_cap,
+                                 n_total)
 
     data_dir = os.path.join(out_dir, "cells")
     shutil.rmtree(data_dir, ignore_errors=True)  # no manifest → partial

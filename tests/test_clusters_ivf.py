@@ -108,3 +108,36 @@ def test_dup_clusters_larger_graph(ray_session):
     assert len(out) == n_comp * comp_size
     for r in out:
         assert r["cluster"] == (r["doc_id"] // 1000) * 1000
+
+
+def test_embedding_clusters_assignment_exact(ray_session):
+    import ray
+
+    from searchengine_ray.pipelines.similarity import (
+        _embedding_matrix,
+        _normalize,
+        _train_centroids,
+        embedding_clusters,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 400, 16, 6
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = embedding_clusters(ds, n_centroids=k).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # partitioning independence
+    got2 = embedding_clusters(ds.repartition(2), n_centroids=k) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert got.equals(got2)
+    assert set(got["cell"]) <= set(range(k)) and got["cell"].nunique() > 1
+    # every vector sits in its argmax cell under the trained centroids
+    cents = _train_centroids(ds, k, 2048, n)
+    m = _normalize(_embedding_matrix(tbl))
+    want = (m @ cents.T).argmax(axis=1)
+    assert (got["cell"].to_numpy() == want).all()
