@@ -696,6 +696,33 @@ def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
+def _q_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and TF-IDF top-k rankings
+    per query (hybrid/ensemble retrieval; rank-only combiner, score
+    scales never compared)."""
+    from searchengine_ray.config import RankerType
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.query.fusion import rrf_fuse
+
+    sb = Searcher(_index_for(sf_dir, _full_cfg()))
+    st = Searcher(_index_for(sf_dir,
+                             _full_cfg(ranker=RankerType.TF_IDF)))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = rrf_fuse([sb.search(q, TOPK, with_urls=False),
+                      st.search(q, TOPK, with_urls=False)], n=TOPK)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(t["rrf_q6"].to_pylist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "rrf_q6": pa.array(scores, pa.int64()),
+    })
+
+
 def _q_search_bm25_deleted(sf_dir: str):
     """BM25 suite after DELETING every odd doc_id from the full index
     (build/merge_indexes.delete_docs) — must equal a build over the
@@ -1324,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prf": _q_search_prf,
         "search_bm25_merged": _q_search_bm25_merged,
         "search_bm25_deleted": _q_search_bm25_deleted,
+        "search_rrf": _q_search_rrf,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1814,6 +1842,22 @@ def oracle_sql() -> dict[str, str]:
     out["search_bm25_merged"] = out["search_bm25"]
     out["search_bm25_deleted"] = oracles.sql_over_filtered_documents(
         out["search_bm25"], "doc_id % 2 = 0"
+    )
+    # RRF fuses the two (independently hash-verified) rankings; the
+    # per-doc score is ≤2 IEEE-commutative divides, so fusion is exact
+    out["search_rrf"] = (
+        f"WITH b AS MATERIALIZED ({oracles.sql_search_bm25(pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK)}), "
+        f"t AS MATERIALIZED ({oracles.sql_search_tfidf(pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK)}), "
+        "u AS (SELECT query_id, doc_id, rank FROM b "
+        "UNION ALL SELECT query_id, doc_id, rank FROM t), "
+        "f AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf "
+        "FROM u GROUP BY 1, 2), "
+        "r AS (SELECT query_id, doc_id, rrf, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn "
+        "FROM f) "
+        "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
+        "doc_id, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_q6 "
+        f"FROM r WHERE rn <= {TOPK}"
     )
     out["search_prf"] = oracles.sql_search_prf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
