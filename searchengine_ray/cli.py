@@ -388,8 +388,14 @@ def cmd_curate_op(args) -> int:
                                  batch_format="pyarrow")
     if not hasattr(out, "write_parquet"):   # driver-bounded pa.Table
         out = ray.data.from_arrow(out)
-    out.write_parquet(args.output)
-    n = ray.data.read_parquet(args.output).count()
+    if args.format == "jsonl":
+        # NDJSON sink — the interchange twin of the sources/jsonl.py
+        # reader (one object per line, one file per block)
+        out.write_json(args.output)
+        n = ray.data.read_json(args.output).count()
+    else:
+        out.write_parquet(args.output)
+        n = ray.data.read_parquet(args.output).count()
     print(_json.dumps({"op": args.op, "rows": n, "output": args.output}))
     return 0
 
@@ -431,6 +437,13 @@ def cmd_analyze(args) -> int:
         from searchengine_ray.pipelines.quantiles import exact_quantiles
 
         res = exact_quantiles(docs([args.col]), args.col)
+    elif args.op == "clusters":
+        from searchengine_ray.pipelines.similarity import (
+            embedding_clusters,
+        )
+
+        res = embedding_clusters(
+            ray.data.read_parquet(args.documents), n_centroids=args.k)
     elif args.op == "funnel":
         from searchengine_ray.pipelines.events import funnel_counts
 
@@ -586,10 +599,12 @@ def main(argv=None) -> int:
     pan.add_argument("--op", required=True,
                      choices=["heavyhitters", "tokenquantiles",
                               "langtopterms", "valuequantiles",
-                              "funnel", "retention", "fuzzy", "expand"])
+                              "funnel", "retention", "fuzzy", "expand",
+                              "clusters"])
     pan.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
-                          "valuequantiles/funnel/retention)")
+                          "valuequantiles/funnel/retention; embeddings "
+                          "parquet for clusters)")
     pan.add_argument("--output", required=True)
     pan.add_argument("--k", type=int, default=10)
     pan.add_argument("--col", default="value",
@@ -637,6 +652,10 @@ def main(argv=None) -> int:
                           "packs never cross partitions)")
     pc_.add_argument("--span-tokens", type=int, default=4,
                      help="spandedup: tile size in whitespace tokens")
+    pc_.add_argument("--format", default="parquet",
+                     choices=["parquet", "jsonl"],
+                     help="output format (jsonl = NDJSON, one object "
+                          "per line)")
     pc_.add_argument("--sample-k", type=int, default=0,
                      help="dsir: Gumbel top-k sample this many docs "
                           "(∝ exp(score/T)) instead of emitting scores")
