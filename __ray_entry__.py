@@ -696,6 +696,30 @@ def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
+def _q_search_mmr(sf_dir: str):
+    """MMR-diversified BM25 (top-20 candidates → diversified top-10,
+    lambda=0.5): integer-dot hashed-vector similarities, greedy
+    selection; fully oracle-exact."""
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.query.mmr import mmr_search
+
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = mmr_search(s, docs_path, q, n=TOPK, m=20, lam=0.5)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(t["mmr_q6"].to_pylist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "mmr_q6": pa.array(scores, pa.int64()),
+    })
+
+
 def _q_search_rrf(sf_dir: str):
     """Reciprocal-rank fusion of the BM25 and TF-IDF top-k rankings
     per query (hybrid/ensemble retrieval; rank-only combiner, score
@@ -1352,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_merged": _q_search_bm25_merged,
         "search_bm25_deleted": _q_search_bm25_deleted,
         "search_rrf": _q_search_rrf,
+        "search_mmr": _q_search_mmr,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1858,6 +1883,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
         "doc_id, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_q6 "
         f"FROM r WHERE rn <= {TOPK}"
+    )
+    out["search_mmr"] = oracles.sql_search_mmr(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS,
+        n=TOPK, m=20, lam=0.5
     )
     out["search_prf"] = oracles.sql_search_prf(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK,
