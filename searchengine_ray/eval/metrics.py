@@ -41,6 +41,30 @@ def ndcg(retrieved: list[int], relevance_of: dict[int, int]) -> float:
     return dcg / idcg if idcg > 0 else 0.0
 
 
+def reciprocal_rank(retrieved: list, relevant: set) -> float:
+    """RR = 1/rank of the first relevant result (0 when none retrieved);
+    mean over queries = MRR (standard IR eval, beyond the reference's
+    E1-E3 but computed over the same golden format)."""
+    for i, d in enumerate(retrieved):
+        if d in relevant:
+            return 1.0 / (i + 1)
+    return 0.0
+
+
+def average_precision(retrieved: list, relevant: set) -> float:
+    """AP = mean over relevant ranks of precision@rank (denominator =
+    |relevant|, the TREC convention); mean over queries = MAP."""
+    if not relevant:
+        return 0.0
+    hits = 0
+    acc = 0.0
+    for i, d in enumerate(retrieved):
+        if d in relevant:
+            hits += 1
+            acc += hits / (i + 1)
+    return acc / len(relevant)
+
+
 def load_relevance_txt(path: str) -> list[tuple[str, dict[str, int]]]:
     """Parse the reference's golden-relevance text format
     (``queries.relevance.txt``; reference ``efficiency.py:28-39``):
@@ -95,7 +119,9 @@ def evaluate_relevance_file(searcher, path: str, n: int = 10) -> dict:
         p, r, f = precision_recall_f1(retrieved, set(rels))
         per_query.append(
             {"query_id": qid, "query": text, "precision": p, "recall": r,
-             "f1": f, "ndcg": ndcg(retrieved, rels)}
+             "f1": f, "ndcg": ndcg(retrieved, rels),
+             "rr": reciprocal_rank(retrieved, set(rels)),
+             "ap": average_precision(retrieved, set(rels))}
         )
     m = len(per_query) or 1
     total_time = sum(times) or 1e-9
@@ -105,6 +131,8 @@ def evaluate_relevance_file(searcher, path: str, n: int = 10) -> dict:
         "recall": sum(q["recall"] for q in per_query) / m,
         "f1": sum(q["f1"] for q in per_query) / m,
         "ndcg": sum(q["ndcg"] for q in per_query) / m,
+        "mrr": sum(q["rr"] for q in per_query) / m,
+        "map": sum(q["ap"] for q in per_query) / m,
         "queries_per_sec": len(per_query) / total_time,
     }
 
@@ -129,7 +157,9 @@ def evaluate(searcher, queries: dict[int, str], qrels: pa.Table,
         p, r, f = precision_recall_f1(retrieved, set(rels))
         per_query.append(
             {"query_id": qid, "precision": p, "recall": r, "f1": f,
-             "ndcg": ndcg(retrieved, rels)}
+             "ndcg": ndcg(retrieved, rels),
+             "rr": reciprocal_rank(retrieved, set(rels)),
+             "ap": average_precision(retrieved, set(rels))}
         )
     m = len(per_query) or 1
     total_time = sum(times) or 1e-9
@@ -139,6 +169,8 @@ def evaluate(searcher, queries: dict[int, str], qrels: pa.Table,
         "recall": sum(q["recall"] for q in per_query) / m,
         "f1": sum(q["f1"] for q in per_query) / m,
         "ndcg": sum(q["ndcg"] for q in per_query) / m,
+        "mrr": sum(q["rr"] for q in per_query) / m,
+        "map": sum(q["ap"] for q in per_query) / m,
         "queries_per_sec": len(per_query) / total_time,
         "median_latency_ms": sorted(times)[len(times) // 2] * 1000 if times else 0,
     }

@@ -53,3 +53,22 @@ def test_evaluate_end_to_end(ray_session, tmp_path):
     assert out["recall"] == 1.0
     assert out["ndcg"] == 1.0
     assert out["queries_per_sec"] > 0
+
+
+def test_mrr_and_map_hand_computed():
+    from searchengine_ray.eval.metrics import (
+        average_precision,
+        reciprocal_rank,
+    )
+
+    rel = {2, 5, 9}
+    ret = [7, 2, 3, 5, 1]
+    assert reciprocal_rank(ret, rel) == 1 / 2
+    # AP: hits at ranks 2 (1/2) and 4 (2/4), |relevant| = 3
+    assert average_precision(ret, rel) == (1 / 2 + 2 / 4) / 3
+    assert reciprocal_rank([7, 3], rel) == 0.0
+    assert average_precision([], rel) == 0.0
+    assert average_precision([2], set()) == 0.0
+    # perfect ranking: RR = 1, AP = 1
+    assert reciprocal_rank([2, 5, 9], rel) == 1.0
+    assert average_precision([2, 5, 9], rel) == 1.0
