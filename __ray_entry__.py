@@ -42,6 +42,12 @@ K1, B = 1.2, 0.75
 TOPK = 10
 FUZZY_QUERY_TERMS = ["qurey", "scann", "jion", "windw"]  # typos of vocab terms
 BOOL_EXPR = "(fast OR spark) AND merge NOT join"
+PERCOLATE_EXPRS = [
+    "fast AND spark",
+    "stream OR window",
+    "merge NOT batch",
+    "(data AND engine) OR (query NOT slow)",
+]
 
 _STOP_SQL_LIST = "['the','and','of','to','in','is','it','on','for','as']"
 
@@ -694,6 +700,15 @@ def _search_suite(idx: str, **searcher_kw) -> pa.Table:
 
 def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
+
+
+def _q_percolate(sf_dir: str):
+    """Reverse search: the registered boolean-query set matched against
+    the document stream — one tokenization pass per batch, shuffle-free
+    (doc_id, query_id) pairs."""
+    from searchengine_ray.query.boolexpr import percolate
+
+    return percolate(_docs_ds(sf_dir), PERCOLATE_EXPRS)
 
 
 def _q_search_mmr(sf_dir: str):
@@ -1377,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_deleted": _q_search_bm25_deleted,
         "search_rrf": _q_search_rrf,
         "search_mmr": _q_search_mmr,
+        "percolate": _q_percolate,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1855,6 +1871,14 @@ def oracle_sql() -> dict[str, str]:
         f"WITH base AS ({toks_base}) "
         "SELECT doc_id::BIGINT AS doc_id FROM base "
         f"WHERE {to_sql_condition(parse(BOOL_EXPR))}"
+    )
+    out["percolate"] = (
+        f"WITH base AS MATERIALIZED ({toks_base}) "
+        + " UNION ALL ".join(
+            f"SELECT doc_id::BIGINT AS doc_id, {qid}::BIGINT AS query_id "
+            f"FROM base WHERE {to_sql_condition(parse(e))}"
+            for qid, e in enumerate(PERCOLATE_EXPRS)
+        )
     )
     out["lsh_candidates"] = oracles.sql_lsh_candidates()
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)

@@ -216,6 +216,69 @@ def boolean_search(docs_ds, expr: str):
     )
 
 
+class PercolateStage:
+    """Reverse search (the Elasticsearch-percolator shape): a REGISTERED
+    set of boolean queries is matched against a stream of documents —
+    alerting / routing / saved-search evaluation at ingest time.
+
+    Actor-pool stage: ASTs are parsed and the union term list is built
+    ONCE per actor in ``__init__``; per batch, ONE tokenization pass
+    builds membership bitmaps for the union vocabulary and every query
+    evaluates against them as numpy boolean algebra — cost is
+    O(tokens + queries × docs) per batch, independent of query count
+    during tokenization. Emits (doc_id, query_id) match pairs."""
+
+    def __init__(self, exprs: list[str]):
+        self.asts = [parse(e) for e in exprs]
+        self.terms = sorted({t for a in self.asts for t in ast_terms(a)})
+        self.term_set = pa.array(self.terms, pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.pipelines.analysis import simple_tokens_flat
+
+        n = batch.num_rows
+        flat, parents = simple_tokens_flat(batch["text"])
+        par = np.asarray(parents, dtype=np.int64)
+        tid = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=self.term_set), -1),
+            dtype=np.int64,
+        )
+        member = {}
+        for i, t in enumerate(self.terms):
+            hit = np.zeros(n, dtype=bool)
+            hit[par[tid == i]] = True
+            member[t] = hit
+        doc = np.asarray(batch["doc_id"], dtype=np.int64)
+        out_d, out_q = [], []
+        for qid, ast in enumerate(self.asts):
+            keep = _membership_eval(ast, member, n)
+            ids = doc[keep]
+            out_d.append(ids)
+            out_q.append(np.full(ids.size, qid, np.int64))
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate(out_d) if out_d else
+                np.empty(0, np.int64), pa.int64()),
+            "query_id": pa.array(
+                np.concatenate(out_q) if out_q else
+                np.empty(0, np.int64), pa.int64()),
+        })
+
+
+def percolate(docs_ds, exprs: list[str], concurrency=None):
+    """→ Dataset (doc_id, query_id): every (document, registered query)
+    match under simple tokenization. Shuffle-free; the query set is
+    driver-bounded (it ships in the actor constructor)."""
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    return docs_ds.map_batches(
+        PercolateStage,
+        fn_constructor_kwargs={"exprs": list(exprs)},
+        batch_format="pyarrow",
+        concurrency=concurrency or autoscale_concurrency(),
+    )
+
+
 def to_sql_condition(node) -> str:
     """The AST as a DuckDB predicate over a ``toks`` list column —
     generated from the same parse the engine evaluates, so oracle and

@@ -88,3 +88,26 @@ def test_index_side_matches_corpus_side(ray_session, tmp_path, expr):
     ))
     got = Searcher(idx).search_boolean_expr(expr)["doc_id"].to_pylist()
     assert got == _naive(expr, TEXTS), expr
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percolate_matches_per_query_boolean_search():
+    import ray
+
+    from searchengine_ray.query.boolexpr import boolean_search, percolate
+
+    texts = ["fast spark merge", "slow merge join", "stream data",
+             "window stream fast", "data engine query", "merge fast"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    exprs = ["fast AND merge", "stream OR engine", "merge NOT join"]
+    got = percolate(ds, exprs).to_pandas()
+    pairs = {(r.doc_id, r.query_id) for r in got.itertuples()}
+    want = set()
+    for qid, e in enumerate(exprs):
+        for d in boolean_search(ds, e).to_pandas()["doc_id"]:
+            want.add((d, qid))
+    assert pairs == want
+    assert (0, 0) in pairs and (1, 2) not in pairs
