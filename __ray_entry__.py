@@ -702,6 +702,16 @@ def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
 
 
+def _q_suggest(sf_dir: str):
+    """Prefix autocomplete from the term shards: top-10 '-s' terms by
+    df — boundary routing prunes the read to the prefix's contiguous
+    shard range, (term, df) columns only."""
+    from searchengine_ray.query.engine import Searcher
+
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    return s.suggest("s", k=10)
+
+
 def _q_percolate(sf_dir: str):
     """Reverse search: the registered boolean-query set matched against
     the document stream — one tokenization pass per batch, shuffle-free
@@ -1393,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rrf": _q_search_rrf,
         "search_mmr": _q_search_mmr,
         "percolate": _q_percolate,
+        "suggest": _q_suggest,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1907,6 +1918,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
         "doc_id, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_q6 "
         f"FROM r WHERE rn <= {TOPK}"
+    )
+    out["suggest"] = oracles.sql_suggest(
+        pclass, cfg, DEFAULT_STOP_WORDS, prefix="s", k=10
     )
     out["search_mmr"] = oracles.sql_search_mmr(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS,

@@ -131,6 +131,10 @@ def cmd_search(args) -> int:
         print(f"{row['rank']:3d}  {row['score']:.6f}  "
               f"{row['doc_id']}  {row['url']}{extra}")
 
+    if args.suggest is not None:
+        for row in s.suggest(args.suggest, args.n).to_pylist():
+            print(f"{row['df']:8d}  {row['term']}")
+        return 0
     if args.more_like is not None:
         for row in s.more_like_this(args.more_like, args.n).to_pylist():
             _show(row)
@@ -530,6 +534,9 @@ def main(argv=None) -> int:
                     help="ordered proximity query: terms in order "
                          "within a window padded by SLOP (0 = exact "
                          "phrase; positional index only)")
+    ps.add_argument("--suggest", default=None, metavar="PREFIX",
+                    help="prefix autocomplete: top index terms by df "
+                         "instead of a search")
     ps.add_argument("--more-like", type=int, default=None,
                     help="similar-document query: use this doc_id's "
                          "top tf-idf terms instead of --query")

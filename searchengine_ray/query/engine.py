@@ -138,6 +138,35 @@ class Searcher:
 
         return phrase_search(self, query, n or self.cfg.default_top_k)
 
+    def suggest(self, prefix: str, k: int = 10) -> pa.Table:
+        """Prefix autocomplete → (term, df) — the ``k`` highest-df
+        index terms starting with ``prefix`` (ties term asc). The
+        lexicographic shard layout makes this cheap: a prefix spans a
+        CONTIGUOUS shard range (shard_of(prefix) .. shard_of(prefix +
+        chr(0x10FFFF))), and only those shards' (term, df) columns are
+        read — never postings, never other shards."""
+        prefix = prefix.lower()
+        if not prefix:
+            raise ValueError("suggest needs a non-empty prefix")
+        lo = self.reader.shard_of(prefix)
+        hi = self.reader.shard_of(prefix + chr(0x10FFFF))
+        best: dict[str, int] = {}
+        for s in range(lo, hi + 1):
+            for f in self.reader.files_of_shard.get(s, []):
+                t = pq.read_table(f, columns=["term", "df"])
+                mask = pc.starts_with(t["term"], prefix)
+                t = t.filter(mask)
+                for term, df in zip(t["term"].to_pylist(),
+                                    t["df"].to_pylist()):
+                    # salted terms repeat per salt row with the same
+                    # global df — dict collapse keeps one
+                    best[term] = int(df)
+        order = sorted(best, key=lambda t: (-best[t], t))[:k]
+        return pa.table({
+            "term": pa.array(order, pa.string()),
+            "df": pa.array([best[t] for t in order], pa.int64()),
+        })
+
     def search_proximity(self, query: str, n: int | None = None,
                          slop: int = 2) -> pa.Table:
         """Ordered proximity query (terms in order within a slop-padded
