@@ -633,6 +633,13 @@ def main(argv=None) -> int:
     pm.add_argument("--indexes", nargs="+", required=True)
     pm.add_argument("--output", required=True)
     pm.add_argument("--overwrite", action="store_true")
+    pal = sub.add_parser("set-alias",
+                         help="atomically point a serving alias file "
+                              "at an index dir (blue/green swap); "
+                              "search --search-index <alias> resolves "
+                              "it")
+    pal.add_argument("--alias", required=True)
+    pal.add_argument("--search-index", required=True)
     pdl = sub.add_parser("delete-docs",
                          help="remove documents from an index into a "
                               "new index (exact: answers match a fresh "
@@ -709,6 +716,12 @@ def main(argv=None) -> int:
         print(_json.dumps({"n_docs": m["corpus"]["n_docs"],
                            "shards": len(m["shards"]),
                            "metrics": m["metrics"]}))
+        return 0
+    if args.cmd == "set-alias":
+        from searchengine_ray.state.alias import set_alias
+
+        set_alias(args.alias, args.search_index)
+        print(f"{args.alias} -> {args.search_index}")
         return 0
     if args.cmd == "delete-docs":
         import json as _json

@@ -20,6 +20,7 @@ from searchengine_ray.build.pipeline import load_manifest
 from searchengine_ray.config import IndexConfig, RankerType
 from searchengine_ray.query.postings import ShardReader
 from searchengine_ray.query.scorers import make_scorer, top_k
+from searchengine_ray.state.alias import resolve_alias
 
 
 def _validate_override(built: IndexConfig, cfg: IndexConfig) -> None:
@@ -72,6 +73,7 @@ class Searcher:
         cache_size: int = 10_000,
         use_wand: bool = False,
     ):
+        index_dir = resolve_alias(index_dir)
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         built = IndexConfig.from_manifest(self.manifest["config"])
