@@ -65,6 +65,41 @@ def average_precision(retrieved: list, relevant: set) -> float:
     return acc / len(relevant)
 
 
+def rbo(a: list, b: list, p: float = 0.9) -> float:
+    """Rank-biased overlap (Webber/Moffat/Zobel TOIS'10), extrapolated
+    form: compare two (possibly different-length, uneven) rankings with
+    top-weighted emphasis — the standard way to quantify how much two
+    rankers agree (BM25 vs PRF, old vs new index). 1 = identical
+    prefix order, 0 = disjoint. Truncated at the longer list with the
+    min-overlap extrapolation of eq. 32's simple RBO_ext variant:
+    RBO = (1−p)/p · Σ_{d=1..k} p^d · |A_d ∩ B_d| / d  +  p^k · X_k/k
+    where k = max(len(a), len(b)) and X_k is the overlap at depth k."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    k = max(len(a), len(b))
+    seen_a: set = set()
+    seen_b: set = set()
+    overlap = 0
+    acc = 0.0
+    for d in range(1, k + 1):
+        if d <= len(a):
+            x = a[d - 1]
+            if x in seen_b:
+                overlap += 1
+            seen_a.add(x)
+        if d <= len(b):
+            x = b[d - 1]
+            # a[d-1] == b[d-1] lands here exactly once: the a-side
+            # check above ran before x entered seen_b
+            if x in seen_a:
+                overlap += 1
+            seen_b.add(x)
+        acc += (p ** d) * overlap / d
+    return (1 - p) / p * acc + (p ** k) * overlap / k
+
+
 def load_relevance_txt(path: str) -> list[tuple[str, dict[str, int]]]:
     """Parse the reference's golden-relevance text format
     (``queries.relevance.txt``; reference ``efficiency.py:28-39``):

@@ -72,3 +72,25 @@ def test_mrr_and_map_hand_computed():
     # perfect ranking: RR = 1, AP = 1
     assert reciprocal_rank([2, 5, 9], rel) == 1.0
     assert average_precision([2, 5, 9], rel) == 1.0
+
+
+def test_rbo_properties():
+    from searchengine_ray.eval.metrics import rbo
+
+    # identical lists → 1 (geometric sum telescopes exactly)
+    assert abs(rbo([1, 2, 3], [1, 2, 3]) - 1.0) < 1e-12
+    assert rbo([], []) == 1.0
+    assert rbo([1, 2], []) == 0.0
+    # disjoint → 0
+    assert rbo([1, 2, 3], [4, 5, 6]) == 0.0
+    # a swap near the top hurts more than one near the bottom
+    base = list(range(10))
+    top_swap = [1, 0] + base[2:]
+    bot_swap = base[:8] + [9, 8]
+    assert rbo(base, top_swap) < rbo(base, bot_swap)
+    # hand-computed: a=[1,2], b=[1,3], p=0.5
+    # d1: overlap 1 → 0.5*1/1; d2: overlap still 1 → 0.25*1/2
+    # rbo = (0.5/0.5)*(0.5 + 0.125) + 0.25*1/2 = 0.75
+    assert abs(rbo([1, 2], [1, 3], p=0.5) - 0.75) < 1e-12
+    # symmetric
+    assert rbo([1, 2, 3], [2, 1, 4]) == rbo([2, 1, 4], [1, 2, 3])
