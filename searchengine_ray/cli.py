@@ -257,7 +257,7 @@ def cmd_bulk(args) -> int:
 
     qds = ray.data.read_parquet(args.queries)
     out = search_dataset(qds, args.search_index, n=args.n,
-                         with_urls=args.urls)
+                         with_urls=args.urls, mode=args.mode)
     out.write_parquet(args.output)
     print(json.dumps({"queries": qds.count(), "rows": out.count(),
                       "output": args.output}))
@@ -561,6 +561,10 @@ def main(argv=None) -> int:
     pb.add_argument("--output", required=True)
     pb.add_argument("--n", type=int, default=10)
     pb.add_argument("--urls", action="store_true")
+    pb.add_argument("--mode", default="rank",
+                    choices=["rank", "phrase", "proximity", "prf",
+                             "boolean"],
+                    help="query type for the whole batch run")
     pa_ = sub.add_parser("ann")
     pa_.add_argument("--embeddings", nargs="+", required=True)
     pa_.add_argument("--query-ids", required=True,

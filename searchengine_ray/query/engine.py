@@ -366,7 +366,8 @@ class QueryActor:
 
     def __init__(self, index_dir: str, n: int = 10, with_urls: bool = False,
                  warm_cache_ref=None, result_cache_size: int = 0,
-                 **searcher_kw):
+                 mode: str = "rank", slop: int = 2, prf_docs: int = 3,
+                 prf_terms: int = 5, **searcher_kw):
         import collections
 
         import ray
@@ -379,6 +380,32 @@ class QueryActor:
             self.searcher.reader.load_cache(warm)
         self.n = n
         self.with_urls = with_urls
+        # query mode: every search type the Searcher serves one-shot is
+        # also a fleet-scale batch mode (bulk PRF over a query log, a
+        # phrase sweep, a boolean audit). One mode per run → one output
+        # schema per run.
+        if mode not in ("rank", "phrase", "proximity", "prf", "boolean"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        self.mode = mode
+        self.slop = slop
+        self.prf_docs = prf_docs
+        self.prf_terms = prf_terms
+        base = {"query_id": pa.int64()}
+        if mode in ("phrase", "proximity"):
+            base |= {"rank": pa.int32(), "doc_id": pa.int64(),
+                     "n_matches": pa.int64()}
+        elif mode == "boolean":
+            base |= {"doc_id": pa.int64()}
+        elif mode == "prf":
+            base |= {"rank": pa.int32(), "doc_id": pa.int64(),
+                     "score": pa.float64(), "url": pa.string()}
+        else:
+            base |= {"rank": pa.int32(), "doc_id": pa.int64(),
+                     "score": pa.float64()}
+            if with_urls:
+                base["url"] = pa.string()
+        self._empty = pa.table(
+            {k: pa.array([], t) for k, t in base.items()})
         # cross-batch query→result LRU (the classic search result
         # cache; sound because the index is immutable for the actor's
         # lifetime). 0 = off.
@@ -386,13 +413,28 @@ class QueryActor:
         self._result_cache: collections.OrderedDict[str, pa.Table] = \
             collections.OrderedDict()
 
+    def _run_query(self, query: str) -> pa.Table:
+        if self.mode == "phrase":
+            return self.searcher.search_phrase(query, self.n)
+        if self.mode == "proximity":
+            return self.searcher.search_proximity(query, self.n,
+                                                  slop=self.slop)
+        if self.mode == "prf":
+            return self.searcher.search_prf(query, self.n,
+                                            fb_docs=self.prf_docs,
+                                            fb_terms=self.prf_terms)
+        if self.mode == "boolean":
+            return self.searcher.search_boolean_expr(query, self.n)
+        return self.searcher.search(query, self.n,
+                                    with_urls=self.with_urls)
+
     def _search_memo(self, query: str) -> pa.Table:
         if self.result_cache_size:
             res = self._result_cache.get(query)
             if res is not None:
                 self._result_cache.move_to_end(query)
                 return res
-        res = self.searcher.search(query, self.n, with_urls=self.with_urls)
+        res = self._run_query(query)
         if self.result_cache_size:
             self._result_cache[query] = res
             if len(self._result_cache) > self.result_cache_size:
@@ -400,33 +442,25 @@ class QueryActor:
         return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, ranks, docs, scores, urls = [], [], [], [], []
         # dedup identical query strings within the batch: score once,
         # fan the result out per query_id (identical output — real
         # query streams repeat their head queries heavily)
         res_of: dict[str, pa.Table] = {}
+        pieces = []
+        order = self._empty.column_names
         for qid, query in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist()
         ):
             res = res_of.get(query)
             if res is None:
                 res = res_of[query] = self._search_memo(query)
-            m = res.num_rows
-            qids.extend([qid] * m)
-            ranks.extend(res["rank"].to_pylist())
-            docs.extend(res["doc_id"].to_pylist())
-            scores.extend(res["score"].to_pylist())
-            if self.with_urls:
-                urls.extend(res["url"].to_pylist())
-        cols = {
-            "query_id": pa.array(qids, pa.int64()),
-            "rank": pa.array(ranks, pa.int32()),
-            "doc_id": pa.array(docs, pa.int64()),
-            "score": pa.array(scores, pa.float64()),
-        }
-        if self.with_urls:
-            cols["url"] = pa.array(urls, pa.string())
-        return pa.table(cols)
+            if res.num_rows:
+                pieces.append(res.append_column(
+                    "query_id", pa.array([qid] * res.num_rows, pa.int64())
+                ).select(order))
+        if not pieces:
+            return self._empty
+        return pa.concat_tables(pieces).cast(self._empty.schema)
 
 
 def search_dataset(queries_ds, index_dir: str, n: int = 10,
@@ -450,7 +484,8 @@ def search_dataset(queries_ds, index_dir: str, n: int = 10,
     if warm_queries:
         s = Searcher(index_dir, **{
             k: v for k, v in kw.items()
-            if k not in ("with_urls", "result_cache_size")
+            if k not in ("with_urls", "result_cache_size", "mode",
+                         "slop", "prf_docs", "prf_terms")
         })
         terms: list[str] = []
         for q in warm_queries:
