@@ -986,6 +986,22 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_frame_sample(sf_dir: str):
+    """Strided frame sampling over the binary pages payload (fixed
+    64-byte frame grid, every 3rd frame, ≤4 samples): the multimodal
+    demux plumbing with an md5-fingerprinted sample per row."""
+    import ray.data
+
+    from searchengine_ray.pipelines.multimodal import frame_sample
+    from searchengine_ray.sources.pages import materialize_pages
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return frame_sample(ds, column="html", frame_bytes=64, every=3,
+                        max_frames=4)
+
+
 def _q_multimodal_features(sf_dir: str):
     """Binary-column features over the pages corpus. The fake-decoder
     feature vector (md5-derived uint16s, multimodal.py) is flattened to
@@ -1439,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_dedup": _q_jaccard_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1797,6 +1814,9 @@ def oracle_sql() -> dict[str, str]:
     cfg = _full_cfg()
     out["lang_id"] = oracles.sql_lang_id(pclass, _LANG_MARKERS)
     out["multimodal_features"] = oracles.sql_multimodal_features()
+    out["frame_sample"] = oracles.sql_frame_sample(
+        frame_bytes=64, every=3, max_frames=4
+    )
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["hash_vectorize"] = (

@@ -93,6 +93,65 @@ class BinaryFeatureStage:
         return pa.table(cols)
 
 
+def frame_sample_batch(batch: pa.Table, column: str = "html",
+                       frame_bytes: int = 64, every: int = 3,
+                       max_frames: int = 4) -> pa.Table:
+    """Frame sampling over an opaque binary payload: treat the payload
+    as a sequence of fixed-``frame_bytes`` frames (the deterministic
+    stand-in for a real container demux — the strided-sampling,
+    payload-drop and schema plumbing are the real thing; a deploy
+    swaps the frame grid for ffmpeg keyframe offsets), keep every
+    ``every``-th frame up to ``max_frames``, and emit per row:
+    n_frames, n_sampled, sampled_bytes, and the md5 fingerprint of the
+    concatenated sample (two little-endian int64 halves, the
+    DuckDB-md5_number-compatible form) — the heavy payload is dropped.
+
+    Per-row work is payload-bounded byte slicing (the same documented
+    class as the decode loop); everything else is Arrow kernels."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    payloads = col.to_pylist()
+    n_frames, n_sampled, s_bytes, fp_lo, fp_hi = [], [], [], [], []
+    for p in payloads:
+        p = p or b""
+        nf = (len(p) + frame_bytes - 1) // frame_bytes
+        idxs = range(0, min(nf, every * max_frames), every)
+        sample = b"".join(
+            p[i * frame_bytes:(i + 1) * frame_bytes] for i in idxs)
+        d = hashlib.md5(sample).digest()
+        n_frames.append(nf)
+        n_sampled.append(len(list(idxs)))
+        s_bytes.append(len(sample))
+        fp_hi.append(int(np.uint64(
+            int.from_bytes(d[:8], "little")).view(np.int64)))
+        fp_lo.append(int(np.uint64(
+            int.from_bytes(d[8:], "little")).view(np.int64)))
+    cols = {n: batch[n] for n in batch.column_names if n != column}
+    cols["n_frames"] = pa.array(n_frames, pa.int64())
+    cols["n_sampled"] = pa.array(n_sampled, pa.int64())
+    cols["sampled_bytes"] = pa.array(s_bytes, pa.int64())
+    cols["fp_hi"] = pa.array(fp_hi, pa.int64())
+    cols["fp_lo"] = pa.array(fp_lo, pa.int64())
+    return pa.table(cols)
+
+
+def frame_sample(ds, column: str = "html", frame_bytes: int = 64,
+                 every: int = 3, max_frames: int = 4,
+                 batch_size: int = 256):
+    """Dataset with a binary column → strided frame sample summary per
+    row (payload dropped early). Stateless per batch → plain task pool;
+    small ``batch_size`` keeps batch × concurrency of large payloads
+    inside worker heaps."""
+    return ds.map_batches(
+        frame_sample_batch,
+        fn_kwargs=dict(column=column, frame_bytes=frame_bytes,
+                       every=every, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def extract_binary_features(ds, column: str = "html", concurrency=None,
                             batch_size: int = 256, decode_fn=None,
                             feature_dim: int = FEATURE_DIM):
