@@ -712,6 +712,42 @@ def _q_suggest(sf_dir: str):
     return s.suggest("s", k=10)
 
 
+def _q_search_explain(sf_dir: str):
+    """Score explanation for each query's BM25 top-3: one row per
+    matched term with tf/df/quantized idf/quantized contribution —
+    uses the scorer's own term_contrib, so engine and explanation
+    cannot drift."""
+    from searchengine_ray.query.engine import Searcher
+
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    qid_l, doc_l, term_l, tf_l, df_l, idf_l, c_l = ([] for _ in range(7))
+    for qid, q in enumerate(SEARCH_QUERIES):
+        top = s.search(q, 3, with_urls=False)
+        for d in top["doc_id"].to_pylist():
+            ex = s.explain(q, d)
+            m = ex.num_rows
+            qid_l.extend([qid] * m)
+            doc_l.extend([d] * m)
+            term_l.extend(ex["term"].to_pylist())
+            tf_l.extend(ex["tf"].to_pylist())
+            df_l.extend(ex["df"].to_pylist())
+            idf_l.extend(np.round(
+                ex["idf"].to_numpy(zero_copy_only=False) * 1000
+            ).astype(np.int64).tolist())
+            c_l.extend(np.round(
+                ex["contrib"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64).tolist())
+    return pa.table({
+        "query_id": pa.array(qid_l, pa.int64()),
+        "doc_id": pa.array(doc_l, pa.int64()),
+        "term": pa.array(term_l, pa.string()),
+        "tf": pa.array(tf_l, pa.int64()),
+        "df": pa.array(df_l, pa.int64()),
+        "idf_q3": pa.array(idf_l, pa.int64()),
+        "contrib_q6": pa.array(c_l, pa.int64()),
+    })
+
+
 def _q_percolate(sf_dir: str):
     """Reverse search: the registered boolean-query set matched against
     the document stream — one tokenization pass per batch, shuffle-free
@@ -1420,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mmr": _q_search_mmr,
         "percolate": _q_percolate,
         "suggest": _q_suggest,
+        "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
         "search_bm25_spanish": _q_search_bm25_spanish,
         "search_bm25_french": _q_search_bm25_french,
@@ -1938,6 +1975,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id::BIGINT AS query_id, rn::BIGINT AS rank, "
         "doc_id, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_q6 "
         f"FROM r WHERE rn <= {TOPK}"
+    )
+    out["search_explain"] = oracles.sql_search_explain(
+        pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, topk=3
     )
     out["suggest"] = oracles.sql_suggest(
         pclass, cfg, DEFAULT_STOP_WORDS, prefix="s", k=10

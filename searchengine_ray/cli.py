@@ -131,6 +131,16 @@ def cmd_search(args) -> int:
         print(f"{row['rank']:3d}  {row['score']:.6f}  "
               f"{row['doc_id']}  {row['url']}{extra}")
 
+    if args.explain is not None:
+        if not args.query:
+            raise SystemExit("--explain needs --query")
+        total = 0.0
+        for row in s.explain(args.query, args.explain).to_pylist():
+            total += row["contrib"]
+            print(f"{row['contrib']:12.6f}  {row['term']}  "
+                  f"tf={row['tf']} df={row['df']} idf={row['idf']:.3f}")
+        print(f"{total:12.6f}  = score of doc {args.explain}")
+        return 0
     if args.suggest is not None:
         for row in s.suggest(args.suggest, args.n).to_pylist():
             print(f"{row['df']:8d}  {row['term']}")
@@ -534,6 +544,9 @@ def main(argv=None) -> int:
                     help="ordered proximity query: terms in order "
                          "within a window padded by SLOP (0 = exact "
                          "phrase; positional index only)")
+    ps.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
+                    help="print the per-term BM25 score breakdown of "
+                         "this doc for --query instead of searching")
     ps.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="prefix autocomplete: top index terms by df "
                          "instead of a search")

@@ -140,6 +140,42 @@ class Searcher:
 
         return phrase_search(self, query, n or self.cfg.default_top_k)
 
+    def explain(self, query: str, doc_id: int) -> pa.Table:
+        """Score explanation for one (query, doc): per matched term →
+        (term, tf, df, idf, contrib), where contrib is THE SCORER'S OWN
+        per-term value (``BM25Scorer.term_contrib`` — no reimplemented
+        arithmetic to drift) and the contribs sum to the doc's search
+        score in token order. Plain-BM25 only (the positional boost is
+        a pairwise quantity with no per-term decomposition)."""
+        from searchengine_ray.query.scorers import BM25Scorer
+
+        if not isinstance(self.scorer, BM25Scorer):
+            raise ValueError(
+                "explain supports the plain BM25 ranker only "
+                f"(index/override ranker is {self.cfg.ranker})")
+        tokens = list(dict.fromkeys(self.tokenizer.tokenize(query)))
+        recs = self.reader.fetch(tokens)
+        terms, tfs, dfs, idfs, contribs = [], [], [], [], []
+        for t in tokens:
+            rec = recs.get(t)
+            if rec is None:
+                continue
+            i = int(np.searchsorted(rec.doc_ids, doc_id))
+            if i >= rec.doc_ids.size or rec.doc_ids[i] != doc_id:
+                continue
+            terms.append(t)
+            tfs.append(int(rec.tfs[i]))
+            dfs.append(int(rec.df))
+            idfs.append(float(rec.idf))
+            contribs.append(float(self.scorer.term_contrib(rec)[i]))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+            "idf": pa.array(idfs, pa.float64()),
+            "contrib": pa.array(contribs, pa.float64()),
+        })
+
     def suggest(self, prefix: str, k: int = 10) -> pa.Table:
         """Prefix autocomplete → (term, df) — the ``k`` highest-df
         index terms starting with ``prefix`` (ties term asc). The
