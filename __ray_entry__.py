@@ -1022,6 +1022,55 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_canonical_url(sf_dir: str):
+    """URL canonicalization over deterministically-messied urls (utm
+    params, HTTPS://WWW. casing, :443 port, trailing slash by doc_id
+    mods): shuffle-free RE2 chain, authority lowercased first."""
+    import ray.data
+
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.pipelines.web import canonical_urls
+
+    docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+    urls = []
+    for d, src in zip(docs["doc_id"].to_pylist(),
+                      docs["source"].to_pylist()):
+        u = f"https://{src}.example.test/doc/{d:010d}"
+        if d % 2 == 1:
+            u += "?utm_source=news&utm_medium=mail"
+        if d % 3 == 0:
+            u = "HTTPS://WWW." + u[len("https://"):]
+        if d % 5 == 0:
+            u = u.replace(".example.test/", ".example.test:443/", 1)
+        if d % 7 == 0:
+            u += "/"
+        urls.append(u)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": docs["doc_id"],
+        "url": pa.array(urls, pa.string()),
+    })).repartition(4)
+    out = canonical_urls(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "canonical_url"]),
+        batch_format="pyarrow")
+
+
+def _q_extract_title(sf_dir: str):
+    """HTML title extraction over the binary pages payload (vectorized
+    RE2 extract, payload dropped)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.web import extract_titles
+    from searchengine_ray.sources.pages import materialize_pages
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return extract_titles(ds)
+
+
 def _q_frame_sample(sf_dir: str):
     """Strided frame sampling over the binary pages payload (fixed
     64-byte frame grid, every 3rd frame, ≤4 samples): the multimodal
@@ -1493,6 +1542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
+        "canonical_url": _q_canonical_url,
+        "extract_title": _q_extract_title,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_dedup": _q_jaccard_dedup,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1854,6 +1905,8 @@ def oracle_sql() -> dict[str, str]:
     out["frame_sample"] = oracles.sql_frame_sample(
         frame_bytes=64, every=3, max_frames=4
     )
+    out["canonical_url"] = oracles.sql_canonical_url()
+    out["extract_title"] = oracles.sql_extract_title()
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["hash_vectorize"] = (

@@ -1,0 +1,81 @@
+"""Web-metadata curation: URL canonicalization and HTML title
+extraction — the normalize-before-dedup steps a crawl pipeline runs
+first. Everything is vectorized RE2 kernels (pyarrow.compute uses RE2,
+DuckDB's regexp_* too — identical semantics, the same shared-pattern
+discipline as the PII op), so both ops are value-exact verifiable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# canonicalization chain — ORDER MATTERS and is mirrored verbatim in
+# the SQL oracle (oracles.sql_canonical_url). The scheme+authority is
+# lowercased FIRST (path/query stay case-sensitive) so every later
+# rule sees a normal-form prefix:
+#  1. lowercase the scheme+authority
+#  2. strip the fragment
+#  3. drop utm_* tracking params (mid-query, first-with-more, trailing)
+#  4. strip default ports (:443 https, :80 http)
+#  5. strip a leading www.
+#  6. strip ONE trailing slash on non-root paths
+_CHAIN: list[tuple[str, str]] = [
+    (r"#.*$", ""),
+    (r"&utm_[^&]*", ""),
+    (r"\?utm_[^&]*&", "?"),
+    (r"\?utm_[^&]*$", ""),
+    (r"^(https://[^/:?#]*):443(/|\?|$)", r"\1\2"),
+    (r"^(http://[^/:?#]*):80(/|\?|$)", r"\1\2"),
+    (r"^(https?://)www\.", r"\1"),
+    (r"^(https?://[^/]+/.+?)/$", r"\1"),
+]
+_AUTH = r"^(?P<a>[hH][tT][tT][pP][sS]?://[^/?#]*)"
+
+
+def canonical_url_batch(batch: pa.Table,
+                        url_col: str = "url") -> pa.Table:
+    u = batch[url_col]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    auth = pc.extract_regex(u, _AUTH + r"(?P<rest>.*)$")
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(auth, "a")),
+        pc.struct_field(auth, "rest"), "")
+    # non-http(s) strings pass through unchanged (extract gives null)
+    u = pc.coalesce(lowered, u)
+    for pat, rep in _CHAIN:
+        u = pc.replace_substring_regex(u, pattern=pat, replacement=rep)
+    cols = {n: batch[n] for n in batch.column_names}
+    cols["canonical_url"] = u
+    return pa.table(cols)
+
+
+def extract_title_batch(batch: pa.Table,
+                        html_col: str = "html") -> pa.Table:
+    h = batch[html_col]
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    s = h.cast(pa.string())           # payloads are utf-8 html
+    m = pc.extract_regex(s, r"<title>(?P<t>.*?)</title>")
+    title = pc.coalesce(pc.struct_field(m, "t"), "")
+    cols = {n: batch[n] for n in batch.column_names if n != html_col}
+    cols["title"] = title
+    cols["title_chars"] = pc.utf8_length(title).cast(pa.int64())
+    return pa.table(cols)
+
+
+def canonical_urls(ds, url_col: str = "url"):
+    """→ Dataset with a ``canonical_url`` column appended (doc-local,
+    shuffle-free; feed into exact_dedup keyed on it for URL dedup)."""
+    return ds.map_batches(canonical_url_batch,
+                          fn_kwargs={"url_col": url_col},
+                          batch_format="pyarrow")
+
+
+def extract_titles(ds, html_col: str = "html"):
+    """→ Dataset (…, title, title_chars) with the html payload dropped
+    (metadata extraction, project-early)."""
+    return ds.map_batches(extract_title_batch,
+                          fn_kwargs={"html_col": html_col},
+                          batch_format="pyarrow")

@@ -1,0 +1,63 @@
+"""web.py: canonicalization restores the clean URL for every messy
+combo; hand cases for each rule; title extraction."""
+
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines.web import (
+    canonical_url_batch,
+    extract_title_batch,
+)
+
+
+def test_each_rule_and_combos():
+    cases = {
+        "https://a.example/x#frag": "https://a.example/x",
+        "https://a.example/x?utm_source=s": "https://a.example/x",
+        "https://a.example/x?utm_source=s&q=1": "https://a.example/x?q=1",
+        "https://a.example/x?q=1&utm_medium=m": "https://a.example/x?q=1",
+        "https://a.example:443/x": "https://a.example/x",
+        "http://a.example:80/x": "http://a.example/x",
+        "https://www.a.example/x": "https://a.example/x",
+        "https://a.example/x/": "https://a.example/x",
+        "https://a.example/": "https://a.example/",      # root slash kept
+        "HTTPS://WWW.A.EXAMPLE:443/Path?utm_source=s#f":
+            "https://a.example/Path",                     # path case kept
+        "not a url": "not a url",                         # pass-through
+    }
+    t = pa.table({"url": pa.array(list(cases), pa.string())})
+    got = canonical_url_batch(t)["canonical_url"].to_pylist()
+    assert got == list(cases.values())
+
+
+def test_messy_synthesis_roundtrip():
+    # every doc_id-mod combination must canonicalize back to its base
+    bases, messy = [], []
+    for d in range(0, 420):
+        u = base = f"https://src.example.test/doc/{d:010d}"
+        if d % 2 == 1:
+            u += "?utm_source=news&utm_medium=mail"
+        if d % 3 == 0:
+            u = "HTTPS://WWW." + u[len("https://"):]
+        if d % 5 == 0:
+            u = u.replace(".example.test/", ".example.test:443/", 1)
+        if d % 7 == 0:
+            u += "/"
+        bases.append(base)
+        messy.append(u)
+    t = pa.table({"url": pa.array(messy, pa.string())})
+    got = canonical_url_batch(t)["canonical_url"].to_pylist()
+    assert got == bases
+
+
+def test_extract_title():
+    t = pa.table({
+        "html": pa.array([b"<html><head><title>Hello World</title>"
+                          b"</head><body>x</body></html>",
+                          b"<html><body>no title</body></html>",
+                          b""], pa.binary()),
+    })
+    out = extract_title_batch(t)
+    assert out["title"].to_pylist() == ["Hello World", "", ""]
+    assert out["title_chars"].to_pylist() == [11, 0, 0]
+    assert "html" not in out.column_names
