@@ -1057,6 +1057,40 @@ def _q_canonical_url(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_url_dedup(sf_dir: str):
+    """Crawl dedup by CANONICAL url: doc pairs share a base url
+    (doc_id//2) under different messy decorations — the canonicalizer
+    must collapse each pair to one winner (min doc_id, n_dups=2)."""
+    import ray.data
+
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.pipelines.web import url_dedup
+
+    docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+    src_of = dict(zip(docs["doc_id"].to_pylist(),
+                      docs["source"].to_pylist()))
+    urls = []
+    for d in docs["doc_id"].to_pylist():
+        src = src_of[(d // 2) * 2]       # pair leader's host
+        u = f"https://{src}.example.test/doc/{d // 2:010d}"
+        if d % 2 == 1:
+            u += "?utm_source=news&utm_medium=mail"
+        if d % 3 == 0:
+            u = "HTTPS://WWW." + u[len("https://"):]
+        if d % 5 == 0:
+            u = u.replace(".example.test/", ".example.test:443/", 1)
+        if d % 7 == 0:
+            u += "/"
+        urls.append(u)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": docs["doc_id"],
+        "url": pa.array(urls, pa.string()),
+    })).repartition(4)
+    return url_dedup(ds)
+
+
 def _q_extract_title(sf_dir: str):
     """HTML title extraction over the binary pages payload (vectorized
     RE2 extract, payload dropped)."""
@@ -1543,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
         "canonical_url": _q_canonical_url,
+        "url_dedup": _q_url_dedup,
         "extract_title": _q_extract_title,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_dedup": _q_jaccard_dedup,
@@ -1906,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         frame_bytes=64, every=3, max_frames=4
     )
     out["canonical_url"] = oracles.sql_canonical_url()
+    out["url_dedup"] = oracles.sql_url_dedup()
     out["extract_title"] = oracles.sql_extract_title()
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)

@@ -73,6 +73,33 @@ def canonical_urls(ds, url_col: str = "url"):
                           batch_format="pyarrow")
 
 
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """→ Dataset (canonical_url, doc_id, n_dups): one winner per
+    CANONICAL url (lowest id; n_dups = multiplicity) — crawl dedup by
+    canonical URL, the composition the canonicalizer exists for. ONE
+    keyed shuffle; the shuffle rows are (canonical_url, id) only."""
+    from ray.data.aggregate import Count, Min
+
+    canon = ds.map_batches(
+        canonical_url_batch, fn_kwargs={"url_col": url_col},
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.select(["canonical_url", id_col]),
+        batch_format="pyarrow",
+    )
+    agg = canon.groupby("canonical_url").aggregate(
+        Min(id_col), Count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "canonical_url": b["canonical_url"],
+            "doc_id": b[f"min({id_col})"].cast(pa.int64()),
+            "n_dups": b["count()"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def extract_titles(ds, html_col: str = "html"):
     """→ Dataset (…, title, title_chars) with the html payload dropped
     (metadata extraction, project-early)."""

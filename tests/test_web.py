@@ -61,3 +61,21 @@ def test_extract_title():
     assert out["title"].to_pylist() == ["Hello World", "", ""]
     assert out["title_chars"].to_pylist() == [11, 0, 0]
     assert "html" not in out.column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_dedup_collapses_variants():
+    import ray
+
+    from searchengine_ray.pipelines.web import url_dedup
+
+    urls = ["https://a.example/x", "HTTPS://WWW.A.EXAMPLE/x",
+            "https://a.example/x?utm_source=s", "https://b.example/y/",
+            "https://b.example/y"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })).repartition(2)
+    got = sorted(url_dedup(ds).to_pandas().itertuples(index=False))
+    assert [(r.canonical_url, r.doc_id, r.n_dups) for r in got] == [
+        ("https://a.example/x", 0, 3), ("https://b.example/y", 3, 2)]
