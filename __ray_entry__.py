@@ -1105,6 +1105,37 @@ def _q_extract_title(sf_dir: str):
     return extract_titles(ds)
 
 
+BLOCK_PATTERNS = [r"//src0\.", r"/doc/0000000(00[0-9]|1[0-9][0-9])$"]
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host doc counts + payload volume over the pages corpus
+    (crawl monitoring rollup; one RE2 extract + one keyed aggregate)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.web import host_stats
+    from searchengine_ray.sources.pages import materialize_pages
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+    return host_stats(ds)
+
+
+def _q_url_blocklist(sf_dir: str):
+    """Denylist filtering of the pages corpus (host + path-range RE2
+    patterns, OR-folded shuffle-free); emits surviving urls."""
+    import ray.data
+
+    from searchengine_ray.pipelines.web import url_blocklist_filter
+    from searchengine_ray.sources.pages import materialize_pages
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    pages = materialize_pages(sf_dir, f"/tmp/graft_pages_{key}", files=8)
+    ds = ray.data.read_parquet(pages, columns=["url"])
+    return url_blocklist_filter(ds, BLOCK_PATTERNS)
+
+
 def _q_frame_sample(sf_dir: str):
     """Strided frame sampling over the binary pages payload (fixed
     64-byte frame grid, every 3rd frame, ≤4 samples): the multimodal
@@ -1578,6 +1609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "canonical_url": _q_canonical_url,
         "url_dedup": _q_url_dedup,
+        "host_stats": _q_host_stats,
+        "url_blocklist": _q_url_blocklist,
         "extract_title": _q_extract_title,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_dedup": _q_jaccard_dedup,
@@ -1942,6 +1975,28 @@ def oracle_sql() -> dict[str, str]:
     )
     out["canonical_url"] = oracles.sql_canonical_url()
     out["url_dedup"] = oracles.sql_url_dedup()
+    out["host_stats"] = (
+        "WITH pages AS (SELECT 'https://' || source || "
+        "'.example.test/doc/' || lpad(CAST(doc_id AS VARCHAR), 10, '0') "
+        "AS url, '<html><head><title>' || "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')"
+        " || '</title></head><body><p>' || text || '</p></body></html>' "
+        "AS payload FROM documents) "
+        "SELECT lower(regexp_extract(url, "
+        "'^[hH][tT][tT][pP][sS]?://([^/:?#]+)', 1)) AS host, "
+        "count(*)::BIGINT AS n_docs, "
+        "sum(length(payload))::BIGINT AS total_bytes "
+        "FROM pages GROUP BY 1"
+    )
+    out["url_blocklist"] = (
+        "WITH pages AS (SELECT 'https://' || source || "
+        "'.example.test/doc/' || lpad(CAST(doc_id AS VARCHAR), 10, '0') "
+        "AS url FROM documents) "
+        "SELECT url FROM pages WHERE NOT ("
+        + " OR ".join(
+            f"regexp_matches(url, '{p}')" for p in BLOCK_PATTERNS
+        ) + ")"
+    )
     out["extract_title"] = oracles.sql_extract_title()
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)

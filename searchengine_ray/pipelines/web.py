@@ -100,6 +100,56 @@ def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+_HOST = r"^[hH][tT][tT][pP][sS]?://(?P<h>[^/:?#]+)"
+
+
+def host_stats(ds, url_col: str = "url", bytes_col: str = "html"):
+    """→ Dataset (host, n_docs, total_bytes): per-host doc counts and
+    payload volume — the crawl-monitoring rollup. Host extraction is
+    one RE2 kernel; ONE keyed aggregate over (host, bytes) rows (host
+    cardinality is web-bounded, not corpus-bounded)."""
+    from ray.data.aggregate import Count, Sum
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b[url_col], _HOST)
+        host = pc.utf8_lower(pc.coalesce(pc.struct_field(m, "h"), ""))
+        nb = pc.fill_null(
+            pc.binary_length(b[bytes_col]).cast(pa.int64()), 0)
+        return pa.table({"host": host, "nb": nb})
+
+    agg = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("host").aggregate(Count(), Sum("nb"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b["host"],
+            "n_docs": b["count()"].cast(pa.int64()),
+            "total_bytes": b["sum(nb)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def url_blocklist_filter(ds, patterns: list[str],
+                         url_col: str = "url"):
+    """→ Dataset of rows whose url matches NO blocklist RE2 pattern —
+    the domain/path denylist step of crawl curation. Patterns are
+    OR-folded per batch (shuffle-free); the list ships in the task
+    closure and must be driver-bounded (a denylist, not a corpus)."""
+    pats = list(patterns)
+    if not pats:
+        raise ValueError("empty blocklist — nothing to filter")
+
+    def keep(b: pa.Table) -> pa.Table:
+        bad = None
+        for p in pats:
+            m = pc.match_substring_regex(b[url_col], p)
+            bad = m if bad is None else pc.or_(bad, m)
+        return b.filter(pc.invert(bad))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def extract_titles(ds, html_col: str = "html"):
     """→ Dataset (…, title, title_chars) with the html payload dropped
     (metadata extraction, project-early)."""

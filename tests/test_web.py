@@ -79,3 +79,27 @@ def test_url_dedup_collapses_variants():
     got = sorted(url_dedup(ds).to_pandas().itertuples(index=False))
     assert [(r.canonical_url, r.doc_id, r.n_dups) for r in got] == [
         ("https://a.example/x", 0, 3), ("https://b.example/y", 3, 2)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_stats_and_blocklist():
+    import ray
+
+    from searchengine_ray.pipelines.web import (
+        host_stats,
+        url_blocklist_filter,
+    )
+
+    tbl = pa.table({
+        "url": pa.array(["https://a.ex/1", "HTTPS://A.EX/2",
+                         "https://b.ex/ads/3", "https://b.ex/4"],
+                        pa.string()),
+        "html": pa.array([b"xx", b"yyyy", b"z", b"ww"], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    hs = {r["host"]: (r["n_docs"], r["total_bytes"])
+          for r in host_stats(ds).to_pandas().to_dict("records")}
+    assert hs == {"a.ex": (2, 6), "b.ex": (2, 3)}
+    kept = url_blocklist_filter(ds, [r"/ads/", r"^https://a\."]) \
+        .to_pandas()["url"].tolist()
+    assert kept == ["HTTPS://A.EX/2", "https://b.ex/4"]
