@@ -86,37 +86,51 @@ def _index_for(sf_dir: str, cfg) -> str:
     return out
 
 
-def _merged_index_for(sf_dir: str, cfg) -> str:
+def _half_indexes_for(sf_dir: str, cfg) -> list[str]:
     """Build (once, cached) TWO half-corpus indexes (doc_id parity
-    split) and merge them — the incremental-indexing path. Query
-    results must be bit-identical to a single full-corpus build, so
-    the merged index is verified against the search_bm25 oracle."""
+    split) — shared by the merge and federation contracts."""
     from searchengine_ray.build.pipeline import MANIFEST_NAME, build_index
-    from searchengine_ray.build.merge_indexes import merge_indexes
 
     key = hashlib.md5(
         f"merged|{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
     ).hexdigest()[:16]
     root = f"/tmp/graft_indexes/{key}"
-    out = os.path.join(root, "merged")
-    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
-        import pyarrow.parquet as _pq
+    import pyarrow.parquet as _pq
 
-        docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        parity = pc.bit_wise_and(docs["doc_id"], 1)
-        os.makedirs(root, exist_ok=True)
-        halves = []
-        for p in (0, 1):
-            half = os.path.join(root, f"half{p}.parquet")
-            if not os.path.exists(half):
-                _pq.write_table(docs.filter(pc.equal(parity, p)),
-                                half + ".tmp")
-                os.replace(half + ".tmp", half)
-            idx = os.path.join(root, f"idx{p}")
+    os.makedirs(root, exist_ok=True)
+    halves = []
+    docs = None
+    for p in (0, 1):
+        half = os.path.join(root, f"half{p}.parquet")
+        if not os.path.exists(half):
+            if docs is None:
+                docs = _pq.read_table(
+                    os.path.join(sf_dir, "documents.parquet"))
+            parity = pc.bit_wise_and(docs["doc_id"], 1)
+            _pq.write_table(docs.filter(pc.equal(parity, p)),
+                            half + ".tmp")
+            os.replace(half + ".tmp", half)
+        idx = os.path.join(root, f"idx{p}")
+        if not os.path.exists(os.path.join(idx, MANIFEST_NAME)):
             build_index(half, idx, cfg, id_column="doc_id",
                         text_column="text", url_column=None)
-            halves.append(idx)
-        merge_indexes(halves, out)
+        halves.append(idx)
+    return halves
+
+
+def _merged_index_for(sf_dir: str, cfg) -> str:
+    """The two half indexes merged — the incremental-indexing path.
+    Query results must be bit-identical to a single full-corpus build,
+    so the merged index is verified against the search_bm25 oracle."""
+    from searchengine_ray.build.pipeline import MANIFEST_NAME
+    from searchengine_ray.build.merge_indexes import merge_indexes
+
+    key = hashlib.md5(
+        f"merged|{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
+    ).hexdigest()[:16]
+    out = f"/tmp/graft_indexes/{key}/merged"
+    if not os.path.exists(os.path.join(out, MANIFEST_NAME)):
+        merge_indexes(_half_indexes_for(sf_dir, cfg), out)
     return out
 
 
@@ -830,6 +844,28 @@ def _q_search_bm25_deleted(sf_dir: str):
         odd = ids.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
         delete_docs(full, out, odd.to_pylist())
     return _search_suite(out)
+
+
+def _q_search_bm25_federated(sf_dir: str):
+    """BM25 suite over FEDERATED doc-partitioned half indexes (query
+    fan-out, globalized N/avgdl/df) — must equal the full-corpus
+    oracle bit-for-bit."""
+    from searchengine_ray.query.federated import FederatedSearcher
+
+    fs = FederatedSearcher(_half_indexes_for(sf_dir, _full_cfg()))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = fs.search(q, TOPK)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(_q4(t["score"].to_numpy(zero_copy_only=False)).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_q4": pa.array(scores, pa.int64()),
+    })
 
 
 def _q_search_bm25_merged(sf_dir: str):
@@ -1565,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_search_bm25,
         "search_prf": _q_search_prf,
         "search_bm25_merged": _q_search_bm25_merged,
+        "search_bm25_federated": _q_search_bm25_federated,
         "search_bm25_deleted": _q_search_bm25_deleted,
         "search_rrf": _q_search_rrf,
         "search_mmr": _q_search_mmr,
@@ -2101,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
     # shares the full-corpus BM25 oracle verbatim; a delete is the same
     # query over the surviving rows
     out["search_bm25_merged"] = out["search_bm25"]
+    out["search_bm25_federated"] = out["search_bm25"]
     out["search_bm25_deleted"] = oracles.sql_over_filtered_documents(
         out["search_bm25"], "doc_id % 2 = 0"
     )

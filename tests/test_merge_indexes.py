@@ -178,3 +178,39 @@ def test_config_mismatch_refused(tmp_path):
     # min_token_length differs → the tokenizer-config guard fires
     with pytest.raises(ValueError, match="differs"):
         merge_indexes([i1, i2], str(tmp_path / "m"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_federated_bit_identical(tmp_path):
+    """Query fan-out over parity-half indexes == one full build,
+    bit-exact (scores included); guards fire on semantic mismatch."""
+    from searchengine_ray.query.federated import FederatedSearcher
+
+    import pyarrow.compute as pc
+
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None)
+    corpus = _corpus(seed=21)
+    paths = {}
+    for name, tbl in (
+        ("even", corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"],
+                                                        1), 0))),
+        ("odd", corpus.filter(pc.equal(pc.bit_wise_and(corpus["doc_id"],
+                                                       1), 1))),
+        ("all", corpus),
+    ):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(tbl, p)
+        idx = str(tmp_path / f"idx_{name}")
+        build_index(p, idx, cfg, id_column="doc_id",
+                    text_column="text", url_column="url")
+        paths[name] = idx
+    fed = FederatedSearcher([paths["even"], paths["odd"]])
+    full = Searcher(paths["all"])
+    for q in QUERIES:
+        a = fed.search(q, 20)
+        b = full.search(q, 20, with_urls=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    with pytest.raises(ValueError, match="at least two"):
+        FederatedSearcher([paths["all"]])
