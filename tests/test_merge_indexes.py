@@ -214,3 +214,45 @@ def test_federated_bit_identical(tmp_path):
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
     with pytest.raises(ValueError, match="at least two"):
         FederatedSearcher([paths["all"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lifecycle_chain(tmp_path):
+    """merge → delete → merge again (with a fresh shard) must stay
+    bit-identical to a direct build over the surviving union."""
+    from searchengine_ray.build.merge_indexes import delete_docs
+
+    import pyarrow.compute as pc
+
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None)
+    corpus = _corpus(240, seed=31)
+    third = corpus.num_rows // 3
+    parts = [corpus.slice(0, third), corpus.slice(third, third),
+             corpus.slice(2 * third)]
+    idxs = []
+    for i, t in enumerate(parts):
+        p = str(tmp_path / f"p{i}.parquet")
+        pq.write_table(t, p)
+        idx = str(tmp_path / f"i{i}")
+        build_index(p, idx, cfg, id_column="doc_id",
+                    text_column="text", url_column="url")
+        idxs.append(idx)
+    m01 = str(tmp_path / "m01")
+    merge_indexes(idxs[:2], m01)
+    # delete every doc_id % 4 == 1 from the merged pair
+    drop = [i for i in range(2 * third) if i % 4 == 1]
+    d01 = str(tmp_path / "d01")
+    delete_docs(m01, d01, drop)
+    final = str(tmp_path / "final")
+    merge_indexes([d01, idxs[2]], final)
+    # direct build over the survivors
+    keep = corpus.filter(pa.array(
+        [not (i < 2 * third and i % 4 == 1)
+         for i in range(corpus.num_rows)]))
+    kp = str(tmp_path / "keep.parquet")
+    pq.write_table(keep, kp)
+    direct = str(tmp_path / "direct")
+    build_index(kp, direct, cfg, id_column="doc_id",
+                text_column="text", url_column="url")
+    _assert_same_searches(final, direct)
