@@ -1058,6 +1058,34 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix vs the corpus labels (classifier
+    eval rollup: one scan + a languages²-sized aggregate)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.analysis import lang_confusion
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return lang_confusion(ds)
+
+
+def _q_daily_active(sf_dir: str):
+    """DAU rollup over events: distinct users + event volume per
+    integer day (pre-aggregated per batch, two bounded aggregates)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.events import daily_active
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id"],
+    )
+    return daily_active(ds)
+
+
 def _q_canonical_url(sf_dir: str):
     """URL canonicalization over deterministically-messied urls (utm
     params, HTTPS://WWW. casing, :443 port, trailing slash by doc_id
@@ -1647,6 +1675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": _q_canonical_url,
         "url_dedup": _q_url_dedup,
         "host_stats": _q_host_stats,
+        "lang_confusion": _q_lang_confusion,
+        "daily_active": _q_daily_active,
         "url_blocklist": _q_url_blocklist,
         "extract_title": _q_extract_title,
         "lsh_candidates": _q_lsh_candidates,
@@ -2006,6 +2036,16 @@ def oracle_sql() -> dict[str, str]:
 
     cfg = _full_cfg()
     out["lang_id"] = oracles.sql_lang_id(pclass, _LANG_MARKERS)
+    out["lang_confusion"] = (
+        f"WITH p AS MATERIALIZED ({oracles.sql_lang_id(pclass, _LANG_MARKERS)}) "
+        "SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n "
+        "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    out["daily_active"] = (
+        "SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, "
+        "count(DISTINCT user_id)::BIGINT AS dau, "
+        "count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    )
     out["multimodal_features"] = oracles.sql_multimodal_features()
     out["frame_sample"] = oracles.sql_frame_sample(
         frame_bytes=64, every=3, max_frames=4

@@ -686,6 +686,39 @@ def heavy_hitters(docs_ds, k: int = 100, capacity: int = 4096,
     return top
 
 
+class _LangConfusionStage:
+    """(label, prediction) rows per doc — marker tables once per actor."""
+
+    def __init__(self):
+        self.langid = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred = self.langid(batch)["lang_pred"]
+        return pa.table({"lang": batch["lang"], "lang_pred": pred})
+
+
+def lang_confusion(docs_ds, concurrency=None):
+    """→ Dataset (lang, lang_pred, n): the language-ID confusion
+    matrix against the corpus labels — the classifier-eval rollup.
+    One scan + ONE tiny keyed aggregate (languages² rows)."""
+    from ray.data.aggregate import Count
+
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    rows = docs_ds.map_batches(
+        _LangConfusionStage, batch_format="pyarrow",
+        concurrency=concurrency or autoscale_concurrency(), num_cpus=1,
+    )
+    agg = rows.groupby(["lang", "lang_pred"]).aggregate(
+        Count(alias_name="n"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"], "lang_pred": b["lang_pred"],
+                         "n": b["n"].cast(pa.int64())})
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
 # -- KMV distinct-count estimation ------------------------------------------
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:

@@ -639,3 +639,41 @@ def retention_cohorts(events_ds, period_hours: int = 24):
             batch_format="pyarrow",
         )
     )
+
+
+def daily_active(events_ds, period_hours: int = 24):
+    """→ Dataset (day, dau, n_events): distinct active users and event
+    volume per integer period (epoch_us // period) — the DAU/WAU
+    rollup. Per-batch (day, user) count partials → ONE keyed sum
+    (shuffle rows ≤ users×days, pre-aggregated per batch) → a tiny
+    day-keyed Count/Sum. Integer period division matches the
+    retention/sessionize oracles' float-free discipline."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    per_us = int(period_hours) * 3_600 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // per_us)
+        t = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "user_id": b["user_id"].cast(pa.int64()),
+        })
+        g = t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "user_id", "c"])
+
+    per_user = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]).aggregate(Sum("c", alias_name="c"))
+    agg = per_user.groupby("day").aggregate(
+        Count(alias_name="dau"), Sum("c", alias_name="n_events"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b["day"].cast(pa.int64()),
+            "dau": b["dau"].cast(pa.int64()),
+            "n_events": b["n_events"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")

@@ -71,3 +71,60 @@ def test_retention_matches_naive():
             c[(cohort, age)] += 1
     want = sorted((co, age, n) for (co, age), n in c.items())
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_active_naive():
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.events import daily_active
+
+    us = 1_000_000
+    day = 86_400 * us
+    ts = [0, 1 * us, day - 1, day, day + 5 * us, 3 * day]
+    users = [1, 1, 2, 1, 2, 9]
+    tbl = pa.table({
+        "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = daily_active(ds).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"day": 0, "dau": 2, "n_events": 3},
+        {"day": 1, "dau": 2, "n_events": 2},
+        {"day": 3, "dau": 1, "n_events": 1},
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_confusion_consistent_with_lang_id():
+    import ray
+
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.analysis import (
+        LangIdStage,
+        lang_confusion,
+    )
+
+    texts = ["the and of quick", "der und die das", "el la de los",
+             "zz qq ww"]
+    labels = ["en", "de", "es", "en"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(labels, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = {(r["lang"], r["lang_pred"]): r["n"]
+           for r in lang_confusion(ds).to_pandas().to_dict("records")}
+    pred = LangIdStage()(tbl)["lang_pred"].to_pylist()
+    want = {}
+    for lb, p in zip(labels, pred):
+        want[(lb, p)] = want.get((lb, p), 0) + 1
+    assert got == want
+    assert sum(got.values()) == 4
