@@ -1058,6 +1058,17 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_window_pmi(sf_dir: str):
+    """Windowed (skip-gram) PMI: instance-counted co-occurrence within
+    ±3 token positions over the candidate vocabulary — the
+    word-embedding-style association statistic (two bounded-fold
+    passes)."""
+    from searchengine_ray.pipelines.cooccur import window_pmi
+
+    return window_pmi(_docs_ds(sf_dir), window=3, min_count=2,
+                      min_pairs=2, k=50, max_vocab=1000)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Language-ID confusion matrix vs the corpus labels (classifier
     eval rollup: one scan + a languages²-sized aggregate)."""
@@ -1676,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "host_stats": _q_host_stats,
         "lang_confusion": _q_lang_confusion,
+        "window_pmi": _q_window_pmi,
         "daily_active": _q_daily_active,
         "url_blocklist": _q_url_blocklist,
         "extract_title": _q_extract_title,
@@ -2040,6 +2052,33 @@ def oracle_sql() -> dict[str, str]:
         f"WITH p AS MATERIALIZED ({oracles.sql_lang_id(pclass, _LANG_MARKERS)}) "
         "SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n "
         "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    out["window_pmi"] = (
+        f"WITH base AS ({oracles.simple_toks_cte(pclass)}), "
+        "pos AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term, "
+        "generate_subscripts(toks, 1) AS p FROM base), "
+        "cf AS MATERIALIZED (SELECT term, count(*)::BIGINT AS cf "
+        "FROM pos GROUP BY 1), "
+        "cand AS MATERIALIZED (SELECT term, cf FROM "
+        "(SELECT term, cf, row_number() OVER (ORDER BY cf DESC, "
+        "term ASC) AS rn FROM cf WHERE cf >= 2) WHERE rn <= 1000), "
+        "cpos AS MATERIALIZED (SELECT p.doc_id, p.term, p.p "
+        "FROM pos p JOIN cand USING (term)), "
+        "prs AS MATERIALIZED (SELECT least(a.term, b.term) AS term_a, "
+        "greatest(a.term, b.term) AS term_b, count(*)::BIGINT AS n_ab "
+        "FROM cpos a JOIN cpos b ON a.doc_id = b.doc_id "
+        "AND b.p > a.p AND b.p <= a.p + 3 AND a.term <> b.term "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT (SELECT sum(cf) FROM cand)::BIGINT AS s, "
+        "(SELECT sum(n_ab) FROM prs)::BIGINT AS pt), "
+        "scored AS (SELECT p.term_a, p.term_b, p.n_ab, "
+        "CAST(round(ln((p.n_ab * t.s * t.s)::DOUBLE / "
+        "(t.pt * ca.cf * cb.cf)) * 1000000) AS BIGINT) AS pmi_q6 "
+        "FROM prs p CROSS JOIN tot t "
+        "JOIN cand ca ON ca.term = p.term_a "
+        "JOIN cand cb ON cb.term = p.term_b WHERE p.n_ab >= 2) "
+        "SELECT term_a, term_b, n_ab, pmi_q6 FROM scored "
+        "ORDER BY pmi_q6 DESC, term_a ASC, term_b ASC LIMIT 50"
     )
     out["daily_active"] = (
         "SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, "

@@ -213,3 +213,138 @@ def expand_query(docs_ds, query_terms: list[str], k: int = 3,
         "term": pa.array(out_t, pa.string()),
         "pmi_q6": pa.array(out_p, pa.int64()),
     })
+
+
+class WindowPairStage:
+    """Per-batch WINDOWED co-occurrence partials (skip-gram counting,
+    word2vec-style statistics): ordered position pairs (i < j,
+    j − i ≤ w) of DISTINCT candidate terms, canonicalized (a < b) and
+    counted per instance — plus candidate-instance unigram partials.
+    Vectorized per offset d ∈ 1..w (tid[:-d] vs tid[d:], same-doc
+    mask) — no per-doc loop."""
+
+    def __init__(self, vocab_ref, window: int) -> None:
+        import ray
+
+        self.vocab: pa.Array = ray.get(vocab_ref)
+        self.window = int(window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = simple_tokens_flat(batch["text"])
+        if len(flat) == 0:
+            return _EMPTY_PAIRS
+        par = np.asarray(parents, dtype=np.int64)
+        tid = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=self.vocab), -1),
+            dtype=np.int64,
+        )
+        nv = np.int64(len(self.vocab))
+        a_parts, b_parts = [], []
+        for d in range(1, self.window + 1):
+            if tid.size <= d:
+                break
+            a, b = tid[:-d], tid[d:]
+            ok = (par[:-d] == par[d:]) & (a >= 0) & (b >= 0) & (a != b)
+            if ok.any():
+                lo = np.minimum(a[ok], b[ok])
+                hi = np.maximum(a[ok], b[ok])
+                a_parts.append(lo)
+                b_parts.append(hi)
+        if not a_parts:
+            return _EMPTY_PAIRS
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        pk, cnt = np.unique(a * nv + b, return_counts=True)
+        return pa.table({
+            "term_a": self.vocab.take(pa.array(pk // nv, pa.int64())),
+            "term_b": self.vocab.take(pa.array(pk % nv, pa.int64())),
+            "n_ab_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+
+def window_pmi(
+    docs_ds,
+    window: int = 3,
+    min_count: int = 2,
+    min_pairs: int = 2,
+    k: int = 50,
+    max_vocab: int = 100_000,
+    concurrency=None,
+    fold_mode: str = "auto",
+) -> pa.Table:
+    """→ pa.Table (term_a, term_b, n_ab, pmi_q6): top-``k`` candidate
+    pairs by WINDOWED PMI — co-occurrence within ±``window`` token
+    positions, counted per INSTANCE (where ``pmi_pairs`` counts whole
+    documents). The word-embedding-style association statistic:
+    p(a) = n_a/S over candidate-token instances, p(ab) = n_ab/P over
+    in-window distinct-candidate pairs, pmi = ln(n_ab·S·S / (P·n_a·n_b))
+    quantized exactly like pmi_pairs (single int-ratio math.log; the
+    integer products bound the corpus at ~2^53 candidate instances —
+    beyond that switch op and oracle to log-difference together).
+
+    Scale shape = pmi_pairs: bounded instance-count fold picks the
+    candidate vocabulary (broadcast once), per-batch pair combiners,
+    bounded pair fold — two passes, both pre-aggregated."""
+    import ray
+
+    from searchengine_ray.pipelines.analysis import term_cf_partial_batch
+    from searchengine_ray.pipelines.fold import fold_count_partials
+    from searchengine_ray.pipelines.similarity import autoscale_concurrency
+
+    cf_tbl = fold_count_partials(
+        docs_ds.map_batches(term_cf_partial_batch, batch_format="pyarrow"),
+        key_cols=["term"],
+        sum_col="cf_partial",
+        mode=fold_mode,
+        empty_result=pa.table({"term": pa.array([], pa.string()),
+                               "cf_partial_sum": pa.array([], pa.int64())}),
+    )
+    cand = [(t, int(c)) for t, c in zip(cf_tbl["term"].to_pylist(),
+                                        cf_tbl["cf_partial_sum"].to_pylist())
+            if c >= min_count]
+    if len(cand) > max_vocab:            # deterministic cf-desc cap
+        cand.sort(key=lambda tc: (-tc[1], tc[0]))
+        cand = cand[:max_vocab]
+    if len(cand) < 2:
+        return _EMPTY_OUT
+    cand.sort(key=lambda tc: tc[0])      # sorted => tid asc = term asc
+    vocab = pa.array([t for t, _ in cand], pa.string())
+    cf_of = dict(cand)
+    s_total = sum(cf_of.values())
+
+    folded = fold_count_partials(
+        docs_ds.map_batches(
+            WindowPairStage,
+            fn_constructor_kwargs={"vocab_ref": ray.put(vocab),
+                                   "window": int(window)},
+            batch_format="pyarrow",
+            concurrency=concurrency or autoscale_concurrency(),
+        ),
+        key_cols=["term_a", "term_b"],
+        sum_col="n_ab_partial",
+        mode=fold_mode,
+        empty_result=pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_ab_partial_sum": pa.array([], pa.int64()),
+        }),
+    )
+    tab = folded["term_a"].to_pylist()
+    tbb = folded["term_b"].to_pylist()
+    nabs = folded["n_ab_partial_sum"].to_pylist()
+    p_total = sum(nabs)
+    rows = []
+    for ta, tb, nab in zip(tab, tbb, nabs):
+        if nab < min_pairs:
+            continue
+        q = int(np.round(math.log(
+            (nab * s_total * s_total)
+            / (p_total * cf_of[ta] * cf_of[tb])) * 1_000_000))
+        rows.append((-q, ta, tb, nab))
+    rows.sort()
+    return pa.table({
+        "term_a": pa.array([r[1] for r in rows[:k]], pa.string()),
+        "term_b": pa.array([r[2] for r in rows[:k]], pa.string()),
+        "n_ab": pa.array([r[3] for r in rows[:k]], pa.int64()),
+        "pmi_q6": pa.array([-r[0] for r in rows[:k]], pa.int64()),
+    })

@@ -106,3 +106,52 @@ def test_expand_query_matches_naive():
 def test_pmi_empty_and_degenerate():
     assert pmi_pairs(_ds(["aa", "bb"]), min_df=1, min_pairs=1).num_rows == 0
     assert pmi_pairs(_ds(["", ""]), min_df=1, min_pairs=1).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_pmi_naive():
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    from searchengine_ray.pipelines.cooccur import window_pmi
+
+    texts = ["aa bb cc aa bb", "bb aa zz yy aa", "cc cc dd aa bb cc"]
+    W, MIN_C = 2, 2
+
+    def toks(t):
+        return [x for x in re.sub(r"[^\w\s]", " ", t).lower().split()
+                if len(x) >= 2]
+
+    cf = Counter(t for x in texts for t in toks(x))
+    cand = {t for t, c in cf.items() if c >= MIN_C}
+    s = sum(cf[t] for t in cand)
+    pair = Counter()
+    for x in texts:
+        tt = toks(x)
+        for i in range(len(tt)):
+            for d in range(1, W + 1):
+                j = i + d
+                if j < len(tt) and tt[i] in cand and tt[j] in cand \
+                        and tt[i] != tt[j]:
+                    pair[tuple(sorted((tt[i], tt[j])))] += 1
+    pt = sum(pair.values())
+    want = []
+    for (a, b), nab in pair.items():
+        if nab < 2:
+            continue
+        q = int(np.round(math.log(
+            (nab * s * s) / (pt * cf[a] * cf[b])) * 1e6))
+        want.append((-q, a, b, nab))
+    want.sort()
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    got = window_pmi(ds, window=W, min_count=MIN_C, min_pairs=2, k=50)
+    assert [(r["term_a"], r["term_b"], r["n_ab"], r["pmi_q6"])
+            for r in got.to_pylist()] \
+        == [(a, b, n, -q) for q, a, b, n in want]
