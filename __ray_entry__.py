@@ -771,6 +771,15 @@ def _q_percolate(sf_dir: str):
     return percolate(_docs_ds(sf_dir), PERCOLATE_EXPRS)
 
 
+def _q_percolate_phrase(sf_dir: str):
+    """Phrase percolation: saved queries with QUOTED PHRASES (in-order
+    consecutive runs) matched against the document stream — one
+    tokenization pass builds term AND phrase bitmaps per batch."""
+    from searchengine_ray.query.boolexpr import percolate
+
+    return percolate(_docs_ds(sf_dir), PERCOLATE_PHRASE_EXPRS)
+
+
 def _q_search_mmr(sf_dir: str):
     """MMR-diversified BM25 (top-20 candidates → diversified top-10,
     lambda=0.5): integer-dot hashed-vector similarities, greedy
@@ -1181,6 +1190,12 @@ def _q_extract_title(sf_dir: str):
 
 
 BLOCK_PATTERNS = [r"//src0\.", r"/doc/0000000(00[0-9]|1[0-9][0-9])$"]
+PERCOLATE_PHRASE_EXPRS = [
+    '"fast spark" AND merge',
+    '"stream window" OR data',
+    'fast NOT "slow join"',
+    '("data engine" OR "query plan") AND NOT batch',
+]
 
 
 def _q_host_stats(sf_dir: str):
@@ -1645,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rrf": _q_search_rrf,
         "search_mmr": _q_search_mmr,
         "percolate": _q_percolate,
+        "percolate_phrase": _q_percolate_phrase,
         "suggest": _q_suggest,
         "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
@@ -2206,6 +2222,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id::BIGINT AS doc_id, {qid}::BIGINT AS query_id "
             f"FROM base WHERE {to_sql_condition(parse(e))}"
             for qid, e in enumerate(PERCOLATE_EXPRS)
+        )
+    )
+    out["percolate_phrase"] = (
+        f"WITH base AS MATERIALIZED ({toks_base}) "
+        + " UNION ALL ".join(
+            f"SELECT doc_id::BIGINT AS doc_id, {qid}::BIGINT AS query_id "
+            f"FROM base WHERE {to_sql_condition(parse(e))}"
+            for qid, e in enumerate(PERCOLATE_PHRASE_EXPRS)
         )
     )
     out["lsh_candidates"] = oracles.sql_lsh_candidates()

@@ -36,7 +36,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+_WORD_NORM_RE = re.compile(r"[^\w\s]")
+
+
+def _phrase_words(raw: str) -> tuple[str, ...]:
+    """Normalize a quoted phrase body with the simple-token rules the
+    corpus-side evaluators use (punct→space, lower, min length 2), so
+    the engine's and the oracle's phrase words are the same."""
+    return tuple(w for w in _WORD_NORM_RE.sub(" ", raw).lower().split()
+                 if len(w) >= 2)
 
 
 class BoolParseError(ValueError):
@@ -95,6 +104,13 @@ def parse(expr: str):
             return node
         if t in ("AND", "OR", ")"):
             raise BoolParseError(f"unexpected {t!r}")
+        if t.startswith('"'):
+            words = _phrase_words(take()[1:-1])
+            if not words:
+                return ("none",)
+            if len(words) == 1:
+                return ("term", words[0])
+            return ("phrase", words)
         return ("term", take())
 
     node = parse_or()
@@ -106,9 +122,21 @@ def parse(expr: str):
 def ast_terms(node) -> list[str]:
     if node[0] == "term":
         return [node[1]]
-    if node[0] == "not":
-        return ast_terms(node[1])
+    if node[0] == "phrase":
+        return list(node[1])
+    if node[0] in ("not", "none"):
+        return ast_terms(node[1]) if node[0] == "not" else []
     return ast_terms(node[1]) + ast_terms(node[2])
+
+
+def ast_phrases(node) -> list[tuple[str, ...]]:
+    if node[0] == "phrase":
+        return [node[1]]
+    if node[0] == "not":
+        return ast_phrases(node[1])
+    if node[0] in ("term", "none"):
+        return []
+    return ast_phrases(node[1]) + ast_phrases(node[2])
 
 
 def _tokenize_ast(node, tokenize):
@@ -122,6 +150,13 @@ def _tokenize_ast(node, tokenize):
         for t in toks[1:]:
             out = ("and", out, ("term", t))
         return out
+    if node[0] == "phrase":
+        raise BoolParseError(
+            "quoted phrases are supported in corpus-side evaluation "
+            "(percolate / boolean_search) only — index-side boolean "
+            "retrieval uses Searcher.search_phrase for phrase queries")
+    if node[0] == "none":
+        return node
     if node[0] == "not":
         return ("not", _tokenize_ast(node[1], tokenize))
     return (node[0], _tokenize_ast(node[1], tokenize),
@@ -168,12 +203,11 @@ def evaluate_index(searcher, expr: str, n: int | None = None) -> pa.Table:
 
 # -- corpus-side (contract) evaluation --------------------------------------
 
-def _membership_eval(node, member: dict[str, np.ndarray],
-                     n: int) -> np.ndarray:
+def _membership_eval(node, member: dict, n: int) -> np.ndarray:
     kind = node[0]
     if kind == "none":
         return np.zeros(n, dtype=bool)
-    if kind == "term":
+    if kind in ("term", "phrase"):
         return member[node[1]]
     if kind == "not":
         return ~_membership_eval(node[1], member, n)
@@ -182,22 +216,47 @@ def _membership_eval(node, member: dict[str, np.ndarray],
     return (a & b) if kind == "and" else (a | b)
 
 
-def boolean_search_batch(batch: pa.Table, ast) -> pa.Table:
+def _build_members(asts: list, batch: pa.Table) -> tuple[dict, int]:
+    """Per-batch membership bitmaps for every term AND quoted phrase of
+    the given ASTs — ONE tokenization pass shared by all of them.
+    Phrase runs exploit doc-contiguity of the flat token stream: a
+    candidate run is a hit iff its first and last token share a parent
+    (tokens of one doc are consecutive, so equality at the endpoints
+    implies the whole run is in-doc)."""
     from searchengine_ray.pipelines.analysis import simple_tokens_flat
 
     n = batch.num_rows
-    terms = sorted(set(ast_terms(ast)))
+    terms = sorted({t for a in asts for t in ast_terms(a)})
+    phrases = sorted({p for a in asts for p in ast_phrases(a)})
     flat, parents = simple_tokens_flat(batch["text"])
     par = np.asarray(parents, dtype=np.int64)
     tid = np.asarray(
-        pc.fill_null(pc.index_in(flat, value_set=pa.array(terms)), -1),
+        pc.fill_null(pc.index_in(flat, value_set=pa.array(
+            terms, pa.string())), -1),
         dtype=np.int64,
     )
-    member = {}
+    member: dict = {}
     for i, t in enumerate(terms):
         hit = np.zeros(n, dtype=bool)
         hit[par[tid == i]] = True
         member[t] = hit
+    idx_of = {t: i for i, t in enumerate(terms)}
+    for words in phrases:
+        k = len(words)
+        hit = np.zeros(n, dtype=bool)
+        if tid.size >= k:
+            m = tid.size - k + 1
+            ok = tid[:m] == idx_of[words[0]]
+            for j in range(1, k):
+                ok &= tid[j:m + j] == idx_of[words[j]]
+            ok &= par[:m] == par[k - 1:]
+            hit[par[:m][ok]] = True
+        member[words] = hit
+    return member, n
+
+
+def boolean_search_batch(batch: pa.Table, ast) -> pa.Table:
+    member, n = _build_members([ast], batch)
     keep = _membership_eval(ast, member, n)
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"].filter(pa.array(keep)),
@@ -230,24 +289,9 @@ class PercolateStage:
 
     def __init__(self, exprs: list[str]):
         self.asts = [parse(e) for e in exprs]
-        self.terms = sorted({t for a in self.asts for t in ast_terms(a)})
-        self.term_set = pa.array(self.terms, pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from searchengine_ray.pipelines.analysis import simple_tokens_flat
-
-        n = batch.num_rows
-        flat, parents = simple_tokens_flat(batch["text"])
-        par = np.asarray(parents, dtype=np.int64)
-        tid = np.asarray(
-            pc.fill_null(pc.index_in(flat, value_set=self.term_set), -1),
-            dtype=np.int64,
-        )
-        member = {}
-        for i, t in enumerate(self.terms):
-            hit = np.zeros(n, dtype=bool)
-            hit[par[tid == i]] = True
-            member[t] = hit
+        member, n = _build_members(self.asts, batch)
         doc = np.asarray(batch["doc_id"], dtype=np.int64)
         out_d, out_q = [], []
         for qid, ast in enumerate(self.asts):
@@ -284,8 +328,16 @@ def to_sql_condition(node) -> str:
     generated from the same parse the engine evaluates, so oracle and
     engine cannot drift."""
     kind = node[0]
+    if kind == "none":
+        return "FALSE"
     if kind == "term":
         return f"list_contains(toks, '{node[1]}')"
+    if kind == "phrase":
+        k = len(node[1])
+        conj = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(node[1]))
+        return (f"(len(list_filter(range(1, len(toks) - {k} + 2), "
+                f"i -> {conj})) > 0)")
     if kind == "not":
         return f"(NOT {to_sql_condition(node[1])})"
     op = "AND" if kind == "and" else "OR"

@@ -111,3 +111,45 @@ def test_percolate_matches_per_query_boolean_search():
             want.add((d, qid))
     assert pairs == want
     assert (0, 0) in pairs and (1, 2) not in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phrase_percolation():
+    import ray
+
+    from searchengine_ray.query.boolexpr import (
+        BoolParseError,
+        boolean_search,
+        parse,
+        percolate,
+        to_sql_condition,
+    )
+
+    texts = ["fast spark merge", "spark fast merge", "fast spark",
+             "merge only here", "the fast Spark! merge"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    # phrase = consecutive in order: docs 0, 2, 4 ('fast spark'); doc 1
+    # has both words but reversed
+    got = sorted(boolean_search(ds, '"fast spark"').to_pandas()
+                 ["doc_id"].tolist())
+    assert got == [0, 2, 4]
+    pairs = {(r["doc_id"], r["query_id"])
+             for r in percolate(ds, ['"fast spark" AND merge',
+                                     'merge NOT "fast spark"'])
+             .take_all()}
+    assert pairs == {(0, 0), (4, 0), (1, 1), (3, 1)}
+    # the SQL condition mirrors the same semantics structurally
+    cond = to_sql_condition(parse('"fast spark"'))
+    assert "toks[i + 0] = 'fast'" in cond and "toks[i + 1] = 'spark'" \
+        in cond
+    # index-side boolean retrieval refuses phrases loudly
+    from searchengine_ray.query.boolexpr import _tokenize_ast
+
+    with pytest.raises(BoolParseError, match="corpus-side"):
+        _tokenize_ast(parse('"fast spark"'), lambda s: [s])
+    # degenerate phrases: one word → term; empty/stop-length → none
+    assert parse('"fast"') == ("term", "fast")
+    assert parse('"a b"') == ("none",)
