@@ -91,6 +91,18 @@ def cmd_search(args) -> int:
     from searchengine_ray.config import RankerType
     from searchengine_ray.query.engine import Searcher
 
+    if args.federate:
+        from searchengine_ray.query.federated import FederatedSearcher
+
+        fs = FederatedSearcher([args.search_index] + args.federate,
+                               k=args.k, b=args.b)
+        if not args.query:
+            raise SystemExit("--federate needs --query")
+        for row in fs.search(args.query, args.n).to_pylist():
+            print(f"{row['rank']:3d}  {row['score']:.6f}  "
+                  f"{row['doc_id']}")
+        return 0
+
     s = Searcher(
         args.search_index,
         ranker=RankerType(args.ranker) if args.ranker else None,
@@ -544,6 +556,11 @@ def main(argv=None) -> int:
                     help="ordered proximity query: terms in order "
                          "within a window padded by SLOP (0 = exact "
                          "phrase; positional index only)")
+    ps.add_argument("--federate", nargs="+", default=None,
+                    metavar="INDEX",
+                    help="additional doc-partitioned indexes: fan the "
+                         "query out and merge with globalized stats "
+                         "(bit-identical to one merged index)")
     ps.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
                     help="print the per-term BM25 score breakdown of "
                          "this doc for --query instead of searching")
