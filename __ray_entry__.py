@@ -1067,6 +1067,14 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """Exact dedup over NORMALIZED text (lower/punct/whitespace) — the
+    C4-style robustness layer over plain md5 dedup."""
+    from searchengine_ray.pipelines.dedup import normalized_dedup
+
+    return normalized_dedup(_docs_ds(sf_dir))
+
+
 def _q_window_pmi(sf_dir: str):
     """Windowed (skip-gram) PMI: instance-counted co-occurrence within
     ±3 token positions over the candidate vocabulary — the
@@ -1704,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "lang_confusion": _q_lang_confusion,
         "window_pmi": _q_window_pmi,
+        "normalized_dedup": _q_normalized_dedup,
         "daily_active": _q_daily_active,
         "url_blocklist": _q_url_blocklist,
         "extract_title": _q_extract_title,
@@ -2068,6 +2077,13 @@ def oracle_sql() -> dict[str, str]:
         f"WITH p AS MATERIALIZED ({oracles.sql_lang_id(pclass, _LANG_MARKERS)}) "
         "SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n "
         "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    out["normalized_dedup"] = (
+        "WITH n AS (SELECT doc_id, md5(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))) AS norm_fp FROM documents) "
+        "SELECT norm_fp, min(doc_id)::BIGINT AS doc_id, "
+        "count(*)::BIGINT AS n_dups FROM n GROUP BY 1"
     )
     out["window_pmi"] = (
         f"WITH base AS ({oracles.simple_toks_cte(pclass)}), "

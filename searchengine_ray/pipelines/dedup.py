@@ -334,6 +334,47 @@ def exact_dedup(docs_ds):
     )
 
 
+def normalized_dedup(docs_ds):
+    """→ Dataset (norm_fp, doc_id=min, n_dups): exact dedup over
+    NORMALIZED text — lowercase, punctuation→space, whitespace
+    collapsed, ends trimmed — the C4-style robustness layer that
+    catches case/punctuation/whitespace re-encodings plain md5 dedup
+    misses (and MinHash would call 1.0-similar anyway at shingle
+    granularity). One RE2+md5 pass per batch, ONE keyed shuffle of
+    (fp, doc_id) rows."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def norm_fp(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, pattern=r"[^\w\s]",
+                                       replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=r"\s+",
+                                       replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        fp = [hashlib.md5(x.encode()).hexdigest()
+              for x in t.to_pylist()]
+        return pa.table({
+            "norm_fp": pa.array(fp, pa.string()),
+            "doc_id": b["doc_id"].cast(pa.int64()),
+        })
+
+    agg = docs_ds.map_batches(norm_fp, batch_format="pyarrow") \
+        .groupby("norm_fp").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_dups"))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm_fp": b["norm_fp"],
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_dups": b["n_dups"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
 def minhash_candidates(docs_ds, strict_truncation: bool = False,
                        max_bucket: int = 200):
     """→ Dataset of distinct candidate pairs (doc_a, doc_b, truncated).

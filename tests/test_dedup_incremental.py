@@ -62,3 +62,21 @@ def test_dedup_against_empty_old_keeps_all_distinct():
 
     got = dedup_against(_docs(NEW), _docs([(9, "unrelated")])).take_all()
     assert sorted(r["doc_id"] for r in got) == [1, 2, 4, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalized_dedup_catches_reencodings():
+    import ray
+
+    from searchengine_ray.pipelines.dedup import normalized_dedup
+
+    texts = ["Fast Spark merge!", "fast   spark MERGE", "fast spark merge",
+             "different doc entirely", "  fast spark, merge.  "]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    out = normalized_dedup(ds).to_pandas()
+    groups = {r.doc_id: r.n_dups for r in out.itertuples()}
+    # docs 0,1,2,4 normalize identically → one winner (min id 0, ×4)
+    assert groups == {0: 4, 3: 1}
