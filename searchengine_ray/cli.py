@@ -241,8 +241,11 @@ def cmd_dedup(args) -> int:
             lambda b: b.rename_columns(["doc_id", "text"]),
             batch_format="pyarrow",
         )
+    from searchengine_ray.pipelines.dedup import normalized_dedup
+
     out = {"exact": exact_dedup, "minhash": minhash_candidates,
-           "simhash": simhash_pairs}[args.method](ds)
+           "simhash": simhash_pairs,
+           "normalized": normalized_dedup}[args.method](ds)
     out.write_parquet(args.output)
     print(json.dumps({"method": args.method, "rows": out.count(),
                       "output": args.output}))
@@ -480,6 +483,19 @@ def cmd_analyze(args) -> int:
 
         res = retention_cohorts(docs(["user_id", "ts"]),
                                 period_hours=args.period_hours)
+    elif args.op == "dau":
+        from searchengine_ray.pipelines.events import daily_active
+
+        res = daily_active(docs(["ts", "user_id"]),
+                           period_hours=args.period_hours)
+    elif args.op == "langconfusion":
+        from searchengine_ray.pipelines.analysis import lang_confusion
+
+        res = lang_confusion(docs(["doc_id", "text", "lang"]))
+    elif args.op == "windowpmi":
+        from searchengine_ray.pipelines.cooccur import window_pmi
+
+        res = window_pmi(docs(["doc_id", "text"]), k=args.k)
     elif args.op == "fuzzy":
         from searchengine_ray.query.fuzzy import fuzzy_suggest
 
@@ -581,7 +597,8 @@ def main(argv=None) -> int:
     pd.add_argument("--documents", nargs="+", required=True)
     pd.add_argument("--output", required=True)
     pd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash"])
+                    choices=["exact", "minhash", "simhash",
+                             "normalized"])
     pd.add_argument("--id-column", default="doc_id")
     pd.add_argument("--text-column", default="text")
     pb = sub.add_parser("bulk")
@@ -641,7 +658,8 @@ def main(argv=None) -> int:
                      choices=["heavyhitters", "tokenquantiles",
                               "langtopterms", "valuequantiles",
                               "funnel", "retention", "fuzzy", "expand",
-                              "clusters"])
+                              "clusters", "dau", "langconfusion",
+                              "windowpmi"])
     pan.add_argument("--documents", nargs="+", required=True,
                      help="documents parquet (events parquet for "
                           "valuequantiles/funnel/retention; embeddings "
