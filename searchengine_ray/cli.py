@@ -515,6 +515,50 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_corpus_report(args) -> int:
+    """One-command corpus profile: doc/token counts, token-length
+    quantiles, KMV vocabulary estimate, exact-dup and normalized-dup
+    rates, top terms — a single JSON report (the first thing an
+    analyst runs on a new crawl drop). Each section is one of the
+    oracle-verified operators; the report only composes them."""
+    import json as _json
+
+    import ray.data
+
+    from searchengine_ray.pipelines.analysis import (
+        heavy_hitters,
+        token_quantiles,
+        vocab_kmv_estimate,
+    )
+    from searchengine_ray.pipelines.dedup import (
+        exact_dedup,
+        normalized_dedup,
+    )
+
+    ds = ray.data.read_parquet(args.documents,
+                               columns=["doc_id", "text"])
+    n_docs = ds.count()
+    report: dict = {"n_docs": n_docs}
+    tq = token_quantiles(ds).to_pylist()
+    report["token_length_quantiles"] = {
+        f"p{r['pct']}": r["dl_q"] for r in tq}
+    kmv = vocab_kmv_estimate(ds).to_pylist()[0]
+    report["vocab_estimate"] = kmv["est_distinct"]
+    ex = exact_dedup(ds).count()
+    nd = normalized_dedup(ds).count()
+    report["exact_dup_rate"] = round(1 - ex / n_docs, 6) if n_docs else 0
+    report["normalized_dup_rate"] = \
+        round(1 - nd / n_docs, 6) if n_docs else 0
+    report["top_terms"] = [
+        {"term": r["term"], "cf": r["cf"]}
+        for r in heavy_hitters(ds, k=args.k).to_pylist()]
+    print(_json.dumps(report))
+    if args.output:
+        with open(args.output, "w") as f:
+            _json.dump(report, f, indent=1)
+    return 0
+
+
 def cmd_index_stats(args) -> int:
     """Operational snapshot of an index: corpus stats, config, build
     metrics/lineage, per-shard on-disk sizes."""
@@ -678,6 +722,15 @@ def main(argv=None) -> int:
     pan.add_argument("--overwrite", action="store_true")
     pst = sub.add_parser("index-stats")
     pst.add_argument("--search-index", required=True)
+    pcr = sub.add_parser("corpus-report",
+                         help="one-command corpus profile (counts, "
+                              "quantiles, vocab estimate, dup rates, "
+                              "top terms) as a single JSON")
+    pcr.add_argument("--documents", nargs="+", required=True)
+    pcr.add_argument("--output", default=None,
+                     help="also write the JSON report here")
+    pcr.add_argument("--k", type=int, default=20,
+                     help="top terms to include")
     pm = sub.add_parser("merge-indexes",
                         help="merge indexes built over disjoint "
                              "document sets into one (exact: answers "
@@ -736,7 +789,8 @@ def main(argv=None) -> int:
     if args.cmd == "curate" and args.op == "decontam" and not args.probe:
         ap.error("--probe is required for --op decontam")
     if args.cmd in ("dedup", "ann", "bulk", "curate", "analyze",
-                    "merge-indexes", "delete-docs"):  # need Ray
+                    "merge-indexes", "delete-docs",
+                    "corpus-report"):  # need Ray
         import ray
 
         if not ray.is_initialized():
@@ -758,6 +812,8 @@ def main(argv=None) -> int:
         return cmd_analyze(args)
     if args.cmd == "index-stats":
         return cmd_index_stats(args)
+    if args.cmd == "corpus-report":
+        return cmd_corpus_report(args)
     if args.cmd == "merge-indexes":
         import json as _json
 

@@ -48,3 +48,19 @@ def test_curate_jsonl_sink_roundtrip(tmp_path):
     with open(files[0]) as fh:
         first = json.loads(fh.readline())
     assert "doc_id" in first
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_report_cli(tmp_path):
+    out = str(tmp_path / "rep.json")
+    line = _run(["corpus-report", "--documents",
+                 f"{SF}/documents.parquet", "--output", out, "--k", "3"])
+    rep = json.loads(line)
+    assert rep["n_docs"] == 500
+    assert set(rep["token_length_quantiles"]) == \
+        {"p25", "p50", "p75", "p90", "p99"}
+    assert rep["vocab_estimate"] > 0
+    assert len(rep["top_terms"]) == 3
+    assert 0 <= rep["exact_dup_rate"] <= rep["normalized_dup_rate"] <= 1
+    with open(out) as fh:
+        assert json.load(fh) == rep
