@@ -1067,6 +1067,18 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_split_corpus(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test split (salted-hash permille
+    ranges): stable under partitioning, reruns and corpus growth."""
+    from searchengine_ray.pipelines.curate import split_corpus
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return split_corpus(ds)
+
+
 def _q_normalized_dedup(sf_dir: str):
     """Exact dedup over NORMALIZED text (lower/punct/whitespace) — the
     C4-style robustness layer over plain md5 dedup."""
@@ -1713,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "window_pmi": _q_window_pmi,
         "normalized_dedup": _q_normalized_dedup,
+        "split_corpus": _q_split_corpus,
         "daily_active": _q_daily_active,
         "url_blocklist": _q_url_blocklist,
         "extract_title": _q_extract_title,
@@ -2077,6 +2090,13 @@ def oracle_sql() -> dict[str, str]:
         f"WITH p AS MATERIALIZED ({oracles.sql_lang_id(pclass, _LANG_MARKERS)}) "
         "SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n "
         "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+    )
+    out["split_corpus"] = (
+        "WITH h AS (SELECT doc_id, ("
+        + oracles.fnv_expr("('split:' || doc_id::VARCHAR)")
+        + " % 1000)::BIGINT AS hv FROM documents) "
+        "SELECT doc_id, CASE WHEN hv < 980 THEN 'train' "
+        "WHEN hv < 990 THEN 'val' ELSE 'test' END AS split FROM h"
     )
     out["normalized_dedup"] = (
         "WITH n AS (SELECT doc_id, md5(trim(regexp_replace("

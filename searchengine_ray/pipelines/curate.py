@@ -500,6 +500,38 @@ def span_dedup(docs_ds, span_tokens: int = 4):
         .groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
 
 
+def split_corpus(docs_ds, splits: dict[str, int] | None = None,
+                 salt: str = "split"):
+    """→ Dataset (doc_id, split): deterministic train/val/test
+    assignment — split = the permille range containing
+    FNV64('<salt>:'||doc_id) mod 1000 (ranges in dict order, must sum
+    to 1000). No RNG state, partitioning/cluster-size independent,
+    stable across reruns and incremental corpus growth (a doc's split
+    never changes when other docs arrive) — the properties an ML data
+    split actually needs. Shuffle-free per-batch gate."""
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+
+    splits = splits or {"train": 980, "val": 10, "test": 10}
+    if sum(splits.values()) != 1000 or any(v < 0 for v in splits.values()):
+        raise ValueError("split permilles must be >= 0 and sum to 1000")
+    names = list(splits)
+    bounds = np.cumsum([splits[s] for s in names])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.array([f"{salt}:"] * b.num_rows, pa.string()),
+            b["doc_id"].cast(pa.string()), "",
+        )
+        hv = (_hash_tokens(keys) % np.uint64(1000)).astype(np.int64)
+        idx = np.searchsorted(bounds, hv, side="right")
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "split": pa.array([names[i] for i in idx], pa.string()),
+        })
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def group_sample(docs_ds, k: int, group_col: str = "lang",
                  salt: str = "pergroup") -> pa.Table:
     """→ pa.Table (group, doc_id, h): an EXACT-size-k-PER-GROUP

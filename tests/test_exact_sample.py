@@ -61,3 +61,22 @@ def test_group_sample_exact_per_group_and_partition_independent():
     small = group_sample(_gds(12, 3), k=10).to_pylist()  # de has 4 docs
     cc = Counter(r["group"] for r in small)
     assert cc["de"] == 4 and cc["en"] == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_corpus_stability_and_fractions():
+    from searchengine_ray.pipelines.curate import split_corpus
+
+    a = split_corpus(_ds(2000, 1)).to_pandas().sort_values("doc_id")
+    b = split_corpus(_ds(2000, 7)).to_pandas().sort_values("doc_id")
+    assert a.equals(b.reset_index(drop=True).set_index(a.index))
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.95 < frac["train"] < 1.0
+    assert 0 < frac.get("val", 0) < 0.05 and 0 < frac.get("test", 0) < 0.05
+    # growth stability: the first 500 docs keep their assignment when
+    # 1500 more arrive
+    small = split_corpus(_ds(500, 3)).to_pandas().set_index("doc_id")
+    big = a.set_index("doc_id")
+    assert (big.loc[small.index, "split"] == small["split"]).all()
+    with pytest.raises(ValueError, match="sum to 1000"):
+        split_corpus(_ds(10, 1), splits={"a": 500, "b": 499})
