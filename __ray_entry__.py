@@ -780,6 +780,15 @@ def _q_percolate_phrase(sf_dir: str):
     return percolate(_docs_ds(sf_dir), PERCOLATE_PHRASE_EXPRS)
 
 
+def _q_percolate_near(sf_dir: str):
+    """NEAR/k percolation: unordered proximity operators in the saved
+    boolean queries (positions from the shared token pass; window
+    bounded to the doc's contiguous flat range)."""
+    from searchengine_ray.query.boolexpr import percolate
+
+    return percolate(_docs_ds(sf_dir), PERCOLATE_NEAR_EXPRS)
+
+
 def _q_search_mmr(sf_dir: str):
     """MMR-diversified BM25 (top-20 candidates → diversified top-10,
     lambda=0.5): integer-dot hashed-vector similarities, greedy
@@ -1210,6 +1219,11 @@ def _q_extract_title(sf_dir: str):
 
 
 BLOCK_PATTERNS = [r"//src0\.", r"/doc/0000000(00[0-9]|1[0-9][0-9])$"]
+PERCOLATE_NEAR_EXPRS = [
+    "fast NEAR/3 merge",
+    "(stream NEAR/2 window) OR engine",
+    "merge NOT (slow NEAR/1 join)",
+]
 PERCOLATE_PHRASE_EXPRS = [
     '"fast spark" AND merge',
     '"stream window" OR data',
@@ -1681,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mmr": _q_search_mmr,
         "percolate": _q_percolate,
         "percolate_phrase": _q_percolate_phrase,
+        "percolate_near": _q_percolate_near,
         "suggest": _q_suggest,
         "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
@@ -2258,6 +2273,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id::BIGINT AS doc_id, {qid}::BIGINT AS query_id "
             f"FROM base WHERE {to_sql_condition(parse(e))}"
             for qid, e in enumerate(PERCOLATE_EXPRS)
+        )
+    )
+    out["percolate_near"] = (
+        f"WITH base AS MATERIALIZED ({toks_base}) "
+        + " UNION ALL ".join(
+            f"SELECT doc_id::BIGINT AS doc_id, {qid}::BIGINT AS query_id "
+            f"FROM base WHERE {to_sql_condition(parse(e))}"
+            for qid, e in enumerate(PERCOLATE_NEAR_EXPRS)
         )
     )
     out["percolate_phrase"] = (

@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
 _WORD_NORM_RE = re.compile(r"[^\w\s]")
+_NEAR_RE = re.compile(r"^NEAR/(\d+)$")
 
 
 def _phrase_words(raw: str) -> tuple[str, ...]:
@@ -78,6 +79,15 @@ def parse(expr: str):
     def parse_and():
         node = parse_unary()
         while peek() is not None and peek() not in ("OR", ")"):
+            m = _NEAR_RE.match(peek() or "")
+            if m:
+                take()
+                rhs = parse_unary()
+                if node[0] != "term" or rhs[0] != "term":
+                    raise BoolParseError(
+                        "NEAR/k joins two plain terms")
+                node = ("near", int(m.group(1)), node[1], rhs[1])
+                continue
             if peek() == "AND":
                 take()
                 rhs = parse_unary()
@@ -124,6 +134,8 @@ def ast_terms(node) -> list[str]:
         return [node[1]]
     if node[0] == "phrase":
         return list(node[1])
+    if node[0] == "near":
+        return [node[2], node[3]]
     if node[0] in ("not", "none"):
         return ast_terms(node[1]) if node[0] == "not" else []
     return ast_terms(node[1]) + ast_terms(node[2])
@@ -134,9 +146,19 @@ def ast_phrases(node) -> list[tuple[str, ...]]:
         return [node[1]]
     if node[0] == "not":
         return ast_phrases(node[1])
-    if node[0] in ("term", "none"):
+    if node[0] in ("term", "none", "near"):
         return []
     return ast_phrases(node[1]) + ast_phrases(node[2])
+
+
+def ast_nears(node) -> list[tuple[int, str, str]]:
+    if node[0] == "near":
+        return [(node[1], node[2], node[3])]
+    if node[0] == "not":
+        return ast_nears(node[1])
+    if node[0] in ("term", "none", "phrase"):
+        return []
+    return ast_nears(node[1]) + ast_nears(node[2])
 
 
 def _tokenize_ast(node, tokenize):
@@ -150,11 +172,12 @@ def _tokenize_ast(node, tokenize):
         for t in toks[1:]:
             out = ("and", out, ("term", t))
         return out
-    if node[0] == "phrase":
+    if node[0] in ("phrase", "near"):
         raise BoolParseError(
-            "quoted phrases are supported in corpus-side evaluation "
-            "(percolate / boolean_search) only — index-side boolean "
-            "retrieval uses Searcher.search_phrase for phrase queries")
+            "quoted phrases / NEAR are supported in corpus-side "
+            "evaluation (percolate / boolean_search) only — index-side "
+            "boolean retrieval uses Searcher.search_phrase / "
+            "search_proximity for positional queries")
     if node[0] == "none":
         return node
     if node[0] == "not":
@@ -209,6 +232,8 @@ def _membership_eval(node, member: dict, n: int) -> np.ndarray:
         return np.zeros(n, dtype=bool)
     if kind in ("term", "phrase"):
         return member[node[1]]
+    if kind == "near":
+        return member[(node[1], node[2], node[3])]
     if kind == "not":
         return ~_membership_eval(node[1], member, n)
     a = _membership_eval(node[1], member, n)
@@ -241,6 +266,28 @@ def _build_members(asts: list, batch: pa.Table) -> tuple[dict, int]:
         hit[par[tid == i]] = True
         member[t] = hit
     idx_of = {t: i for i, t in enumerate(terms)}
+    nears = sorted({s for a in asts for s in ast_nears(a)})
+    if nears and par.size:
+        # per-flat-position doc bounds: same-doc tokens are contiguous
+        change = (np.diff(par) != 0)
+        run_id = np.cumsum(np.concatenate(([0], change.astype(np.int64))))
+        run_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        run_ends = np.concatenate((run_starts[1:], [par.size])) - 1
+        starts_of = run_starts[run_id]
+        ends_of = run_ends[run_id]
+    for (kk, ta, tb) in nears:
+        hit = np.zeros(n, dtype=bool)
+        if par.size:
+            pa_ = np.flatnonzero(tid == idx_of[ta])
+            pb_ = np.flatnonzero(tid == idx_of[tb])
+            if pa_.size and pb_.size:
+                lo = np.maximum(pa_ - kk, starts_of[pa_])
+                hi = np.minimum(pa_ + kk, ends_of[pa_])
+                j = np.searchsorted(pb_, lo)
+                ok = (j < pb_.size) & \
+                    (pb_[np.minimum(j, pb_.size - 1)] <= hi)
+                hit[par[pa_[ok]]] = True
+        member[(kk, ta, tb)] = hit
     for words in phrases:
         k = len(words)
         hit = np.zeros(n, dtype=bool)
@@ -338,6 +385,14 @@ def to_sql_condition(node) -> str:
             f"toks[i + {j}] = '{w}'" for j, w in enumerate(node[1]))
         return (f"(len(list_filter(range(1, len(toks) - {k} + 2), "
                 f"i -> {conj})) > 0)")
+    if kind == "near":
+        k, ta, tb = node[1], node[2], node[3]
+        return (
+            f"(len(list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = '{ta}' AND len(list_filter("
+            f"range(greatest(1, i - {k}), "
+            f"least(len(toks), i + {k}) + 1), "
+            f"j -> toks[j] = '{tb}')) > 0)) > 0)")
     if kind == "not":
         return f"(NOT {to_sql_condition(node[1])})"
     op = "AND" if kind == "and" else "OR"

@@ -153,3 +153,34 @@ def test_phrase_percolation():
     # degenerate phrases: one word → term; empty/stop-length → none
     assert parse('"fast"') == ("term", "fast")
     assert parse('"a b"') == ("none",)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_operator():
+    import ray
+
+    from searchengine_ray.query.boolexpr import (
+        BoolParseError,
+        boolean_search,
+        parse,
+    )
+
+    texts = ["fast one two merge", "fast one two three merge",
+             "merge then later fast", "fast alone", "merge xx fast"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    # distance: doc0 = 3, doc1 = 4, doc2 = 3, doc4 = 2 (order-free)
+    got = sorted(boolean_search(ds, "fast NEAR/3 merge").to_pandas()
+                 ["doc_id"].tolist())
+    assert got == [0, 2, 4]
+    got2 = sorted(boolean_search(ds, "fast NEAR/2 merge").to_pandas()
+                  ["doc_id"].tolist())
+    assert got2 == [4]
+    # NEAR binds two plain terms only
+    with pytest.raises(BoolParseError, match="plain terms"):
+        parse('(a AND b) NEAR/2 c')
+    # doc-boundary windows never leak across docs (doc3 'fast alone'
+    # adjacent in the flat stream to doc4's 'merge')
+    assert 3 not in got
