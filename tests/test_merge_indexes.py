@@ -256,3 +256,35 @@ def test_lifecycle_chain(tmp_path):
     build_index(kp, direct, cfg, id_column="doc_id",
                 text_column="text", url_column="url")
     _assert_same_searches(final, direct)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_federated_three_way(tmp_path):
+    from searchengine_ray.query.federated import FederatedSearcher
+
+    cfg = IndexConfig(num_shards=2, min_token_length=2,
+                      use_stop_words=False, language=None)
+    corpus = _corpus(240, seed=41)
+    idxs = []
+    for p in range(3):
+        import pyarrow.compute as pc
+
+        part = corpus.filter(pa.array(
+            (corpus["doc_id"].to_numpy() % 3 == p)))
+        pp = str(tmp_path / f"p{p}.parquet")
+        pq.write_table(part, pp)
+        idx = str(tmp_path / f"i{p}")
+        build_index(pp, idx, cfg, id_column="doc_id",
+                    text_column="text", url_column="url")
+        idxs.append(idx)
+    ap = str(tmp_path / "all.parquet")
+    pq.write_table(corpus, ap)
+    full = str(tmp_path / "ifull")
+    build_index(ap, full, cfg, id_column="doc_id",
+                text_column="text", url_column="url")
+    fed = FederatedSearcher(idxs)
+    fs = Searcher(full)
+    for q in QUERIES:
+        a, b = fed.search(q, 15), fs.search(q, 15, with_urls=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
