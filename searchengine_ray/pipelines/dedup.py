@@ -24,11 +24,15 @@ over doc segments) — no per-doc or per-token Python.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from searchengine_ray.pipelines.analysis import simple_tokens_flat
+
+_LOG = logging.getLogger(__name__)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
@@ -176,17 +180,15 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """(band, bucket, doc_id, all_buckets) rows — the LSH explode stage,
-    one row per (doc, band), all segmented numpy. ``all_buckets`` (the
-    doc's full 16-band bucket vector) rides along so the pair stage can
-    emit each candidate pair from its FIRST colliding band only — pairs
-    are then globally distinct by construction and the usual second
-    dedup shuffle disappears (one all-to-all instead of two)."""
+    """(band, bucket, doc_id) rows — the LSH explode stage, one row per
+    (doc, band), all segmented numpy. Rows are deliberately skinny (20
+    bytes): the band-bucket groupby is the pipeline's one big all-to-all
+    and its bytes scale linearly with the corpus, so nothing but the key
+    and the doc id may ride through it."""
     doc_ids, sh, seg = _shingle_arrays(batch)
     sig = _signatures_segmented(sh, seg)
     buckets = _band_buckets(sig)                      # (BANDS, n)
     n = len(doc_ids)
-    all_flat = np.repeat(buckets.T.reshape(1, -1), _BANDS, axis=0).reshape(-1)
     return pa.table(
         {
             "band": pa.array(
@@ -196,73 +198,145 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(
                 np.tile(np.asarray(doc_ids, np.int64), _BANDS), pa.int64()
             ),
-            "all_buckets": pa.FixedSizeListArray.from_arrays(
-                pa.array(all_flat, pa.int64()), _BANDS
+        }
+    )
+
+
+def bucket_pairs_block(batch: pa.Table, max_bucket: int = 200,
+                       key_cols: tuple[str, str] = ("band", "bucket"),
+                       id_col: str = "doc_id") -> pa.Table:
+    """ALL buckets inside one sorted block → candidate pairs, with no
+    per-group Python: group boundaries, the skew cap and the whole
+    upper-triangle expansion are computed vectorized over the block.
+    (A ``map_groups`` equivalent pays one Python call per bucket —
+    with one bucket per (doc, band) row that is millions of calls per
+    block and dominates the stage's CPU.)
+
+    Requires every (band, bucket) group to live entirely in this block
+    — exactly what a range-partitioned ``Dataset.sort`` on the key
+    columns guarantees (identical keys never straddle a boundary).
+
+    Buckets over ``max_bucket`` are truncated to their smallest doc
+    ids — not silently: one warning per block reports how many buckets
+    were capped and how many members were dropped, and every pair from
+    a capped bucket carries ``trunc=1``."""
+    n = batch.num_rows
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "trunc": pa.array([], pa.int64()),
+    })
+    if n == 0:
+        return empty
+    band = batch[key_cols[0]].to_numpy(zero_copy_only=False)
+    bucket = batch[key_cols[1]].to_numpy(zero_copy_only=False)
+    doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, bucket, band))
+    band, bucket, doc = band[order], bucket[order], doc[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+    gid = np.cumsum(new) - 1
+    counts = np.bincount(gid)
+    gstart0 = np.concatenate(([0], np.cumsum(counts)))
+    over = counts > max_bucket
+    if over.any():
+        _LOG.warning(
+            "LSH skew cap: %d buckets over max_bucket=%d in this block, "
+            "%d member rows dropped (kept the smallest doc ids)",
+            int(over.sum()), max_bucket,
+            int((counts[over] - max_bucket).sum()),
+        )
+        pos = np.arange(n) - gstart0[:-1][gid]
+        keep = pos < max_bucket
+        gid, doc = gid[keep], doc[keep]
+        counts = np.minimum(counts, max_bucket)
+    m = counts.astype(np.int64)
+    npairs = m * (m - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return empty
+    pg = np.repeat(np.arange(m.size), npairs)       # group of each pair
+    offs = np.concatenate(([0], np.cumsum(npairs)))
+    k = np.arange(total, dtype=np.int64) - offs[pg]  # pair rank in group
+    mm = m[pg]
+    # rank k → upper-triangle (i, j), closed form (exact in float64:
+    # m ≤ max_bucket keeps every operand far under 2^52)
+    t = 2 * mm - 1
+    i = ((t - np.sqrt(t.astype(np.float64) ** 2 - 8 * k)) // 2).astype(
+        np.int64
+    )
+    j = k - i * (t - i) // 2 + i + 1
+    gstart = np.concatenate(([0], np.cumsum(m)))
+    return pa.table({
+        "doc_a": pa.array(doc[gstart[pg] + i], pa.int64()),
+        "doc_b": pa.array(doc[gstart[pg] + j], pa.int64()),
+        "trunc": pa.array(over[pg].astype(np.int64), pa.int64()),
+    })
+
+
+def bucket_pairs_group(group: pa.Table, max_bucket: int = 200) -> pa.Table:
+    """One LSH bucket → candidate pairs (doc_a < doc_b), vectorized
+    upper-triangle. Buckets larger than ``max_bucket`` are truncated to
+    their smallest doc ids — NOT silently: a warning names the bucket
+    and the drop count, and every emitted pair carries ``truncated`` so
+    downstream sees which candidates came out of a capped bucket.
+
+    A pair that collides in several bands is emitted by each of them;
+    ``distinct_pairs`` (a tiny pair-keyed aggregate) makes the union
+    distinct. Emitting from every band — rather than a first-colliding-
+    band claim — means a pair survives the cap as long as ANY band's
+    bucket kept both members, so skew truncation in one band cannot
+    silently lose a pair another band still saw."""
+    raw = group["doc_id"].to_numpy(zero_copy_only=False)
+    docs = np.unique(raw)
+    truncated = docs.size > max_bucket
+    if truncated:
+        _LOG.warning(
+            "LSH bucket over cap (band=%s bucket=%s): %d members, "
+            "keeping %d smallest doc ids, dropping %d",
+            group["band"][0].as_py() if "band" in group.column_names else "?",
+            group["bucket"][0].as_py()
+            if "bucket" in group.column_names else "?",
+            docs.size, max_bucket, docs.size - max_bucket,
+        )
+        docs = docs[:max_bucket]
+    iu, ju = np.triu_indices(docs.size, k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(docs[iu], pa.int64()),
+            "doc_b": pa.array(docs[ju], pa.int64()),
+            "trunc": pa.array(
+                np.full(iu.size, int(truncated), np.int64), pa.int64()
             ),
         }
     )
 
 
-def bucket_pairs_group(group: pa.Table, max_bucket: int = 200,
-                       truncated_keys: dict[int, np.ndarray] | None = None,
-                       ) -> pa.Table:
-    """One LSH bucket → candidate pairs (doc_a < doc_b), vectorized
-    upper-triangle. Buckets larger than ``max_bucket`` are truncated to
-    their smallest doc ids (flagged via ``truncated``, no silent cap).
+def distinct_pairs(pairs_ds):
+    """(doc_a, doc_b, trunc) rows with per-band duplicates → distinct
+    (doc_a, doc_b, truncated) pairs via ONE pair-keyed aggregate. The
+    shuffle is tiny relative to the band-bucket exchange (candidate
+    pairs only, pre-combined per block by the Min aggregate);
+    ``truncated`` stays set only when EVERY band that saw the pair had
+    a capped bucket — i.e. the pair is solid if any band kept it
+    uncapped."""
+    from ray.data.aggregate import Min
 
-    When the group carries ``all_buckets`` vectors, a pair is emitted
-    ONLY if this group's band is the pair's first colliding band —
-    making the union over all groups distinct with no extra shuffle.
-
-    ``truncated_keys`` (band → sorted bucket values over the cap,
-    computed globally by ``minhash_candidates(strict_truncation=True)``)
-    repairs the first-band/truncation interaction: a pair whose first
-    colliding band truncated one member would otherwise never be
-    claimed by any group. With the set available, first-band is
-    computed over UNTRUNCATED colliding bands only; pairs whose every
-    colliding band is truncated are emitted by each truncated band
-    where both members survive (possible duplicates, all flagged
-    ``truncated`` — completeness over exact-once for the skewed tail)."""
-    raw = group["doc_id"].to_numpy(zero_copy_only=False)
-    docs, first_idx = np.unique(raw, return_index=True)
-    truncated = docs.size > max_bucket
-    docs, first_idx = docs[:max_bucket], first_idx[:max_bucket]
-    iu, ju = np.triu_indices(docs.size, k=1)
-    if "all_buckets" in group.column_names and iu.size:
-        band = int(group["band"][0].as_py())
-        ab = group["all_buckets"]
-        if isinstance(ab, pa.ChunkedArray):
-            ab = ab.combine_chunks()
-        mat = np.asarray(ab.values, dtype=np.int64).reshape(len(raw), -1)
-        mat = mat[first_idx]
-        eq = mat[iu] == mat[ju]                       # (P, BANDS)
-        if truncated_keys is None:
-            hit = eq.argmax(axis=1) == band           # first colliding band
-        else:
-            n_bands = eq.shape[1]
-            trunc = np.zeros_like(eq)
-            for b, vals in truncated_keys.items():
-                if len(vals):
-                    trunc[:, b] = np.isin(mat[iu][:, b], vals) & eq[:, b]
-            ok = eq & ~trunc
-            any_ok = ok.any(axis=1)
-            # first UNtruncated colliding band claims the pair; if every
-            # colliding band is truncated, each truncated band where
-            # both members survived emits it (duplicates possible)
-            hit = np.where(
-                any_ok,
-                np.where(ok, np.arange(n_bands)[None, :], n_bands).min(axis=1)
-                == band,
-                trunc[:, band] if band < n_bands else False,
-            )
-        iu, ju = iu[hit], ju[hit]
-    return pa.table(
-        {
-            "doc_a": pa.array(docs[iu], pa.int64()),
-            "doc_b": pa.array(docs[ju], pa.int64()),
-            "truncated": pa.array(np.full(iu.size, truncated), pa.bool_()),
-        }
+    agg = pairs_ds.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("trunc", alias_name="trunc")
     )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": b["doc_a"].cast(pa.int64()),
+            "doc_b": b["doc_b"].cast(pa.int64()),
+            "truncated": pc.cast(
+                pc.greater(b["trunc"].cast(pa.int64()), 0), pa.bool_()
+            ),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = _SHINGLE_K) -> float:
@@ -375,62 +449,33 @@ def normalized_dedup(docs_ds):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
-def minhash_candidates(docs_ds, strict_truncation: bool = False,
-                       max_bucket: int = 200):
+def minhash_candidates(docs_ds, max_bucket: int = 200):
     """→ Dataset of distinct candidate pairs (doc_a, doc_b, truncated).
-    ONE all-to-all: the first-colliding-band rule inside each bucket
-    group makes pairs globally unique without a dedup shuffle. The
-    ``truncated`` flag marks pairs from capped (skew-truncated) buckets
-    — kept in the output so every block has one schema (a trailing
-    projection leaves Ray's empty sort-partition blocks unprojected).
-
-    ``strict_truncation=True`` adds a second (pre-aggregated, tiny-row)
-    all-to-all that counts bucket members globally and broadcasts the
-    over-cap (band, bucket) set, so a pair whose FIRST colliding band
-    truncated one member is still claimed by its first untruncated
-    band (the default single-shuffle mode silently loses such pairs —
-    only relevant under heavy bucket skew)."""
+    Two shuffles, sized asymmetrically on purpose: the big one moves
+    only skinny (band, bucket, doc_id) rows — no per-row signature
+    payload — and the second moves only the candidate pairs themselves
+    (pre-combined per block), which are vanishingly few next to the
+    corpus. Carrying each doc's full bucket vector through the first
+    shuffle to make pairs distinct without the second (the previous
+    design) multiplies the all-to-all bytes by the band count and loses
+    pairs whose first colliding band hit the skew cap."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    return candidates_from_bands(bands, max_bucket=max_bucket,
-                                 strict_truncation=strict_truncation)
+    return candidates_from_bands(bands, max_bucket=max_bucket)
 
 
-def candidates_from_bands(bands_ds, max_bucket: int = 200,
-                          strict_truncation: bool = False):
-    """(band, bucket, doc_id, all_buckets) rows → distinct candidate
-    pairs; the groupby + first-colliding-band core shared by the
-    MinHash path (and testable with synthetic band layouts)."""
-    trunc_ref = None
-    if strict_truncation:
-        import ray
-        from ray.data.aggregate import Count
+def candidates_from_bands(bands_ds, max_bucket: int = 200):
+    """(band, bucket, doc_id) rows → distinct candidate pairs; the
+    sort + vectorized per-block pairs + pair-dedup core shared by the
+    MinHash path (and testable with synthetic band layouts). ``sort``
+    range-partitions on the key, so each bucket lands whole in one
+    block and ``bucket_pairs_block`` sees every member."""
+    def pairs(batch: pa.Table) -> pa.Table:
+        return bucket_pairs_block(batch, max_bucket=max_bucket)
 
-        over = (
-            bands_ds.groupby(["band", "bucket"])
-            .aggregate(Count(alias_name="cnt"))
-            .map_batches(
-                lambda b: b.filter(pc.greater(b["cnt"], max_bucket)),
-                batch_format="pyarrow",
-            )
-            .take_all()
-        )  # bounded: only buckets over the skew cap come back
-        keys: dict[int, np.ndarray] = {}
-        for r in over:
-            keys.setdefault(int(r["band"]), []).append(int(r["bucket"]))
-        trunc_ref = ray.put({b: np.sort(np.asarray(v, np.int64))
-                             for b, v in keys.items()})
-
-    def pairs(group: pa.Table) -> pa.Table:
-        tk = None
-        if trunc_ref is not None:
-            import ray
-            tk = ray.get(trunc_ref)
-        return bucket_pairs_group(group, max_bucket=max_bucket,
-                                  truncated_keys=tk)
-
-    return bands_ds.groupby(["band", "bucket"]).map_groups(
+    raw = bands_ds.sort(["band", "bucket"]).map_batches(
         pairs, batch_format="pyarrow"
     )
+    return distinct_pairs(raw)
 
 
 def simhash_explode_batch(batch: pa.Table) -> pa.Table:

@@ -451,10 +451,10 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
-    """(table_id, bucket, vec_id, all_buckets) — random-hyperplane
-    signature rows; ``all_buckets`` (every table's bucket for the vec)
-    lets the pair stage emit each pair from its first colliding table
-    only (globally distinct pairs, no dedup shuffle)."""
+    """(table_id, bucket, vec_id) — random-hyperplane signature rows,
+    kept skinny so the table-bucket groupby (the one big all-to-all)
+    ships nothing but the key and the vec id; ``distinct_pairs`` makes
+    the per-table pair emissions globally unique afterwards."""
     m = _normalize(_embedding_matrix(batch))
     vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     planes = _planes(m.shape[1])
@@ -466,8 +466,6 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
         for p in range(_N_PLANES):
             bucket |= signs[:, p].astype(np.int64) << p
         buckets[t] = bucket
-    all_flat = np.repeat(buckets.T.reshape(1, -1), _N_TABLES,
-                         axis=0).reshape(-1)
     return pa.table(
         {
             "table_id": pa.array(
@@ -475,9 +473,6 @@ def lsh_bucket_batch(batch: pa.Table) -> pa.Table:
             ),
             "bucket": pa.array(buckets.reshape(-1), pa.int64()),
             "vec_id": pa.array(np.tile(vec_ids, _N_TABLES), pa.int64()),
-            "all_buckets": pa.FixedSizeListArray.from_arrays(
-                pa.array(all_flat, pa.int64()), _N_TABLES
-            ),
         }
     )
 
@@ -559,18 +554,22 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.3,
 
 def lsh_candidate_pairs(embeddings_ds, max_bucket: int = 500):
     """Near-neighbor candidate pairs via hyperplane-LSH bucketing —
-    ONE groupby shuffle on (table, bucket); distinct by the
-    first-colliding-table rule inside each group."""
-    from searchengine_ray.pipelines.dedup import bucket_pairs_group
+    one big skinny-row groupby on (table, bucket) plus the tiny
+    pair-keyed dedup aggregate (``dedup.distinct_pairs``)."""
+    from searchengine_ray.pipelines.dedup import (
+        bucket_pairs_block,
+        distinct_pairs,
+    )
 
     rows = embeddings_ds.map_batches(lsh_bucket_batch, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        renamed = group.rename_columns(
-            ["band", "bucket", "doc_id", "all_buckets"]
+    def pairs(batch: pa.Table) -> pa.Table:
+        return bucket_pairs_block(
+            batch, max_bucket=max_bucket,
+            key_cols=("table_id", "bucket"), id_col="vec_id",
         )
-        return bucket_pairs_group(renamed, max_bucket=max_bucket)
 
-    return rows.groupby(["table_id", "bucket"]).map_groups(
+    raw = rows.sort(["table_id", "bucket"]).map_batches(
         pairs, batch_format="pyarrow"
     )
+    return distinct_pairs(raw)

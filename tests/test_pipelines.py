@@ -266,6 +266,51 @@ def test_simhash_adversarial_skew_capped(ray_session):
     assert all(r["hamming"] == 0 for r in pairs)
 
 
+def test_bucket_pairs_block_matches_per_group_reference():
+    """The vectorized whole-block pair expansion (closed-form rank →
+    upper-triangle index) equals running bucket_pairs_group per group,
+    across random group sizes straddling the cap."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.dedup import (
+        bucket_pairs_block,
+        bucket_pairs_group,
+    )
+
+    rng = np.random.RandomState(7)
+    bands, buckets, docs = [], [], []
+    next_doc = 0
+    layout = []
+    for g in range(40):
+        size = int(rng.randint(1, 12))          # cap of 5 truncates some
+        band, bucket = int(rng.randint(0, 4)), g
+        ids = rng.permutation(np.arange(next_doc, next_doc + size))
+        next_doc += size
+        layout.append((band, bucket, np.sort(ids)))
+        bands += [band] * size
+        buckets += [bucket] * size
+        docs += ids.tolist()
+    perm = rng.permutation(len(docs))           # block arrives unsorted
+    block = pa.table({
+        "band": pa.array(np.asarray(bands)[perm], pa.int32()),
+        "bucket": pa.array(np.asarray(buckets)[perm], pa.int64()),
+        "doc_id": pa.array(np.asarray(docs)[perm], pa.int64()),
+    })
+    got = bucket_pairs_block(block, max_bucket=5)
+    got_set = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist(),
+                      got["trunc"].to_pylist()))
+    want = set()
+    for band, bucket, ids in layout:
+        ref = bucket_pairs_group(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}), max_bucket=5
+        )
+        want |= set(zip(ref["doc_a"].to_pylist(), ref["doc_b"].to_pylist(),
+                        ref["trunc"].to_pylist()))
+    assert got.num_rows == len(got_set)          # no duplicate emissions
+    assert got_set == want
+
+
 def test_minhash_bucket_cap_flags_truncation():
     """bucket_pairs_group caps oversized buckets and flags it."""
     import pyarrow as pa
@@ -275,7 +320,7 @@ def test_minhash_bucket_cap_flags_truncation():
     g = pa.table({"doc_id": pa.array(list(range(300)), pa.int64())})
     out = bucket_pairs_group(g, max_bucket=20)
     assert out.num_rows == 20 * 19 // 2
-    assert out["truncated"].to_pylist()[0] is True
+    assert out["trunc"].to_pylist()[0] == 1
 
 
 def test_minhash_signature_segmented_parity():
@@ -426,10 +471,12 @@ def test_stratified_sample_deterministic(ray_session):
     assert 0.35 < len(r1) / 500 < 0.65   # ~half of the en docs
 
 
-def test_strict_truncation_recovers_first_band_loss(ray_session):
-    """A pair whose FIRST colliding band truncated one member must still
-    be claimed by its first untruncated band under
-    strict_truncation=True (default single-shuffle mode loses it)."""
+def test_truncation_skew_keeps_pairs_other_bands_saw(ray_session):
+    """Adversarial skew: a pair whose band-0 bucket is over the cap
+    must still come out (untruncated) via its band-1 bucket — the
+    any-band emission + pair-dedup design cannot lose a pair one band
+    truncated while another band kept both members. Pairs from capped
+    buckets stay flagged; solid pairs do not."""
     import ray.data
 
     from searchengine_ray.pipelines.dedup import candidates_from_bands
@@ -440,25 +487,21 @@ def test_strict_truncation_recovers_first_band_loss(ray_session):
     rows = []
     for doc, buckets in ab.items():
         for band, bucket in enumerate(buckets):
-            rows.append({"band": band, "bucket": bucket, "doc_id": doc,
-                         "all_buckets": buckets})
+            rows.append({"band": band, "bucket": bucket, "doc_id": doc})
     t = pa.table({
         "band": pa.array([r["band"] for r in rows], pa.int32()),
         "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
         "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
-        "all_buckets": pa.array([r["all_buckets"] for r in rows],
-                                pa.list_(pa.int64(), 2)),
     })
     bands = ray.data.from_arrow(t)
 
-    default = {(r["doc_a"], r["doc_b"])
-               for r in candidates_from_bands(bands, max_bucket=2).take_all()}
-    strict = {(r["doc_a"], r["doc_b"])
-              for r in candidates_from_bands(
-                  bands, max_bucket=2, strict_truncation=True).take_all()}
-    assert default == {(1, 2)}            # (2,3) lost to first-band rule
-    assert strict == {(1, 2), (2, 3)}     # recovered; (1,3) unrecoverable
-                                          # (member dropped in its only band)
+    got = {(r["doc_a"], r["doc_b"]): r["truncated"]
+           for r in candidates_from_bands(bands, max_bucket=2).take_all()}
+    # (2,3) recovered via band 1; (1,3) unrecoverable (doc 3 dropped in
+    # its only shared bucket) — that loss is the warning-logged cap
+    assert set(got) == {(1, 2), (2, 3)}
+    assert got[(1, 2)] is True      # only seen in the capped bucket
+    assert got[(2, 3)] is False     # solid via band 1's uncapped bucket
 
 
 def test_curate_overwrite_guard(ray_session, tmp_path):
