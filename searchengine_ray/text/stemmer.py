@@ -459,8 +459,11 @@ def porter_stem(word: str) -> str:
 # algorithm (snowballstem.org, "The German stemming algorithm") — the
 # same public spec nltk's SnowballStemmer('german') implements
 # (reference tokenizer.py:24-33 accepts any Snowball language name).
-# Includes the spec's refinements: the 'syst'-exception on -em and the
-# -niss s-drop after removing e/en/es.
+# Includes the spec's -niss s-drop after removing e/en/es. The newer
+# spec revision's 'syst'-exception on -em is deliberately NOT applied:
+# both independent implementations available offline (nltk's port and
+# PostgreSQL's compiled snowball 2.x dictionaries, the fixture oracle)
+# predate it and stem system → syst.
 
 _G_VOWELS = frozenset("aeiouyäöü")
 _G_S_ENDINGS = frozenset("bdfghklmnrt")
@@ -514,7 +517,7 @@ def german_stem(word: str) -> str:
     # Step 1 — longest of: (a) em ern er, (b) e en es, (c) s
     if w.endswith("ern") and in_r1("ern"):
         w = w[:-3]
-    elif w.endswith("em") and in_r1("em") and not w[:-2].endswith("syst"):
+    elif w.endswith("em") and in_r1("em"):
         w = w[:-2]
     elif w.endswith("er") and in_r1("er"):
         w = w[:-2]
@@ -2139,6 +2142,19 @@ _RO_VERB = tuple(sorted((
     ("âi", True), ("âşi", True), ("ârăm", True), ("ârăţi", True),
     ("âră", True),
     ("işi", True), ("irăm", True), ("irăţi", True), ("iră", True),
+    # pluperfect (theme vowel + 'se' paradigm) — conditional like the
+    # rest of group 1; their presence matters beyond the forms
+    # themselves: the longest-match-no-backtrack rule means e.g.
+    # 'frumoase' matches 'ase', fails the consonant-or-u test and must
+    # NOT fall through to the unconditional 'se'
+    ("ase", True), ("asem", True), ("aseşi", True), ("aserăm", True),
+    ("aserăţi", True), ("aseră", True),
+    ("ise", True), ("isem", True), ("iseşi", True), ("iserăm", True),
+    ("iserăţi", True), ("iseră", True),
+    ("âse", True), ("âsem", True), ("âseşi", True), ("âserăm", True),
+    ("âserăţi", True), ("âseră", True),
+    ("use", True), ("usem", True), ("useşi", True), ("userăm", True),
+    ("userăţi", True), ("useră", True),
     # person endings / s-perfect / pluperfect: unconditional
     ("ăm", False), ("aţi", False), ("em", False), ("eţi", False),
     ("im", False), ("iţi", False), ("âm", False), ("âţi", False),

@@ -22,8 +22,9 @@ VOCAB = [
     ("einem", "ein", "em"),
     ("keinem", "kein", "em"),
     ("unserem", "uns", "em then step-2 er"),
-    ("system", "system", "em blocked by the syst exception"),
-    ("systeme", "system", "e; em exception keeps the rest"),
+    ("system", "syst", "em (no syst exception: nltk and snowball 2.x, "
+     "the available independent implementations, both predate it)"),
+    ("systeme", "system", "e"),
     ("systemen", "system", "en"),
     # step 1 (b): e / en / es (+ niss rule)
     ("katzen", "katz", "en"),

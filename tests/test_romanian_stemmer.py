@@ -25,8 +25,10 @@ VOCAB = [
     ("familiei", "famil", "iei → i in R1, then final-vowel i"),
     ("acţiunile", "acţiun", "ile → i (not preceded by ab)"),
     ("stabile", "stabil", "ile blocked by the ab guard; final vowel only"),
-    ("frumoasele", "frumo", "ele → e; then verb 'se' (unconditional, in "
-     "RV) fires because step 2's oase is not in R2"),
+    ("frumoasele", "frumoas", "ele → e; verb step's longest visible "
+     "match is pluperfect 'ase' (conditional), preceded by the vowel o "
+     "→ the whole step fails with NO backtrack to the shorter "
+     "unconditional 'se'; final e drops"),
     # step 1: combining suffixes in R1 (repeat), gates the verb step
     ("durabilitate", "durabil", "abilitate → abil in R1; abil outside R2 "
      "stays"),

