@@ -1017,6 +1017,16 @@ def _q_search_bm25_finnish(sf_dir: str):
         _index_for(sf_dir, _full_cfg(language="finnish")))
 
 
+def _q_search_bm25_arabic(sf_dir: str):
+    """BM25 over an Arabic-stemmed index (Snowball Arabic, round-5 —
+    the last reference language gap): the same query suite, every term
+    stemmed by text/stemmer.arabic_stem on both the build and query
+    sides. The stemmer itself is pinned independently against the
+    official compiled Snowball (tests/fixtures/snowball/arabic.tsv)."""
+    return _search_suite(
+        _index_for(sf_dir, _full_cfg(language="arabic")))
+
+
 def _q_search_bm25_positional(sf_dir: str):
     from searchengine_ray.config import PostingType, RankerType
 
@@ -1666,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_romanian": _q_search_bm25_romanian,
         "search_bm25_hungarian": _q_search_bm25_hungarian,
         "search_bm25_finnish": _q_search_bm25_finnish,
+        "search_bm25_arabic": _q_search_bm25_arabic,
         "search_phrase": _q_search_phrase,
         "search_proximity": _q_search_proximity,
         "repetition_stats": _q_repetition_stats,
@@ -2391,6 +2402,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["search_bm25_finnish"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="finnish"),
+        DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25_arabic"] = oracles.sql_search_bm25(
+        pclass, SEARCH_QUERIES, _full_cfg(language="arabic"),
         DEFAULT_STOP_WORDS, TOPK
     )
     out["search_phrase"] = oracles.sql_search_phrase(

@@ -2608,6 +2608,205 @@ def finnish_stem(word: str) -> str:
     return w
 
 
+# -- Snowball Arabic --------------------------------------------------------
+# Clean-room implementation of the published Snowball Arabic stemming
+# algorithm (Assem Chelli, Abdelkrim Aries, Lakhdar Benzahia —
+# snowballstem.org; shipped with Snowball 2.x, and through nltk's
+# SnowballStemmer the reference accepts it, reference
+# tokenizer.py:24-33). Behavior is pinned 1:1 against an independent
+# compiled build of the official sources (PostgreSQL's
+# dict_snowball.so, the same oracle as tests/fixtures/snowball/) —
+# 20k+ adversarial fuzz words with zero divergence, see
+# tools/gen_snowball_fixtures.py and tests/test_arabic_stemmer.py.
+#
+# Structure: Checks1 (definite-article detection on the RAW token,
+# before normalization) → Normalize_pre (diacritics/tatweel removal,
+# lam-alef ligature expansion) → suffix steps (verb chain, else noun
+# chain, else final alef-maksura fold) → prefix steps → Normalize_post
+# (final hamza carrier → ء, then the أ/إ/آ→ا, ؤ→و, ئ→ي sweep).
+# Faithfulness notes, all oracle-verified:
+# - among() takes the LONGEST matching entry; if its length test
+#   fails, the whole step fails — no retry with a shorter entry.
+# - string edits are never rolled back when a later conjunct fails
+#   (snowball semantics), so e.g. Suffix_Noun_Step1b's ن deletion
+#   persists even when no Step2 suffix follows.
+# - the prefix routines share a cursor: Step1's substitution leaves it
+#   at offset 1 and Step3_Verb's at +1 more, so later steps match at
+#   that offset, not at the word start (سيست… → ياست…, but ستست… →
+#   تست… because the surviving تست sits before the cursor).
+
+_AR_DIAC = frozenset("ًٌٍَُِّْ")
+_AR_TATWEEL = "ـ"
+_AR_LIG = {
+    "ﻻ": "لا", "ﻼ": "لا",
+    "ﻷ": "لأ", "ﻸ": "لأ",
+    "ﻹ": "لإ", "ﻺ": "لإ",
+    "ﻵ": "لآ", "ﻶ": "لآ",
+}
+
+# (suffix, min current length); longest match wins (see notes above)
+_AR_VS1 = (("هما", 6), ("كما", 6), ("كمو", 6),
+           ("ني", 5), ("نا", 5), ("ها", 5), ("هم", 5), ("هن", 5),
+           ("كم", 5), ("كن", 5),
+           ("ه", 4), ("ك", 4))
+_AR_VS2A = (("تما", 6), ("ان", 6), ("ون", 6), ("ين", 6),
+            ("نا", 5), ("تا", 5), ("تن", 5),
+            ("ا", 4), ("ت", 4), ("ن", 4), ("ي", 4))
+_AR_VS2B = (("وا", 5), ("تم", 5))
+_AR_VS2C = (("تمو", 6), ("و", 4))
+_AR_NS1A = (("كما", 6), ("هما", 6),
+            ("نا", 5), ("كم", 5), ("ها", 5), ("هن", 5), ("هم", 5),
+            ("ي", 4), ("ك", 4), ("ه", 4))
+_AR_NS1B = (("ن", 6),)
+_AR_NS2A = (("ا", 5), ("ي", 5), ("و", 5))
+_AR_NS2B = (("ات", 5),)
+_AR_NS2C1 = (("ت", 4),)
+_AR_NS2C2 = (("ة", 4),)
+_AR_NS3 = (("ي", 3),)
+
+_AR_POST = str.maketrans({"آ": "ا", "أ": "ا", "إ": "ا",
+                          "ؤ": "و", "ئ": "ي"})
+
+
+def _ar_among(w: str, entries) -> tuple[str, bool]:
+    best = None
+    for sfx, minlen in entries:
+        if w.endswith(sfx) and (best is None or len(sfx) > len(best[0])):
+            best = (sfx, minlen)
+    if best is None or len(w) < best[1]:
+        return w, False
+    return w[: len(w) - len(best[0])], True
+
+
+def _ar_suffix_verb(w: str) -> tuple[str, bool]:
+    w1, m = _ar_among(w, _AR_VS1)
+    if m:
+        while m:                       # Step1 repeats while it matches
+            w, (w1, m) = w1, _ar_among(w1, _AR_VS1)
+        w2, m2 = _ar_among(w, _AR_VS2A)
+        if not m2:
+            w2, m2 = _ar_among(w, _AR_VS2C)
+        return (w2 if m2 else w), True
+    w1, m = _ar_among(w, _AR_VS2B)
+    if m:
+        return w1, True
+    return _ar_among(w, _AR_VS2A)
+
+
+def _ar_suffix_noun(w: str, defined: bool) -> tuple[str, bool]:
+    w1, m = _ar_among(w, _AR_NS2C2)
+    if m:
+        w = w1
+    else:
+        took_1a = False
+        if not defined:
+            w1, m = _ar_among(w, _AR_NS1A)
+            if m:
+                w, took_1a = w1, True
+                for tbl in (_AR_NS2A, _AR_NS2B, _AR_NS2C1):
+                    w1, m2 = _ar_among(w, tbl)
+                    if m2:
+                        w = w1
+                        break
+        if not took_1a:
+            done = False
+            w1, m = _ar_among(w, _AR_NS1B)
+            if m:
+                w = w1     # persists even if no Step2 suffix follows
+                for tbl in (_AR_NS2A, _AR_NS2B, _AR_NS2C1):
+                    w1, m2 = _ar_among(w, tbl)
+                    if m2:
+                        w, done = w1, True
+                        break
+            if not done:
+                if not defined:
+                    w1, m = _ar_among(w, _AR_NS2A)
+                    if m:
+                        w, done = w1, True
+                if not done:
+                    w1, m = _ar_among(w, _AR_NS2B)
+                    if m:
+                        w = w1
+    # Suffix_Noun_Step3 decides whether the noun branch succeeded
+    w1, m = _ar_among(w, _AR_NS3)
+    if m:
+        return w1, True
+    return w, False
+
+
+def _ar_prefixes(w: str, is_verb: bool) -> str:
+    c = 0
+    # Prefix_Step1 (try): hamza'd double-alef starts collapse
+    if len(w) > 3:
+        for pre, repl in (("أأ", "أ"), ("أآ", "آ"), ("أؤ", "أ"),
+                          ("أإ", "إ"), ("أا", "ا")):
+            if w.startswith(pre):
+                w = repl + w[2:]
+                c = 1
+                break
+    # Prefix_Step2 (try): conjunction و / ف unless followed by ا
+    if len(w) > 3 and len(w) > c + 1 and w[c] in "وف" and w[c + 1] != "ا":
+        w = w[:c] + w[c + 1:]
+    n = len(w)
+    t = w[c:]
+    # Prefix_Step3a_Noun or Prefix_Step3b_Noun or the verb chain
+    if t.startswith(("ال", "لل")):
+        return w[:c] + t[2:] if n > 4 else w
+    if t.startswith(("بال", "كال")):
+        return w[:c] + t[3:] if n > 5 else w
+    if t.startswith(("با", "كا")):           # matched — always fails
+        pass
+    elif t[:1] == "ب" or t.startswith("كك"):
+        # ب strips before anything but ا; bare ك never strips — only a
+        # doubled كك loses one
+        return w[:c] + t[1:] if n > 3 else w
+    elif t[:1] == "ك":
+        pass                                 # matched — always fails
+    elif is_verb:
+        # Prefix_Step3_Verb (try) then Prefix_Step4_Verb, sequential;
+        # Step3's substitution advances the shared cursor (see notes)
+        if len(w) > 4 and t.startswith(("سي", "ست", "سن", "سأ")):
+            w = w[:c] + t[1:]
+            c += 1
+            t = w[c:]
+        if len(w) > 4 and t.startswith(("يست", "نست", "تست", "أست")):
+            w = w[:c] + "ا" + t[1:]
+    return w
+
+
+def arabic_stem(word: str) -> str:
+    """Snowball Arabic stem of a token."""
+    w = word
+    is_verb, is_defined = True, False
+    # Checks1 — on the RAW token, before Normalize_pre
+    if w.startswith(("بال", "كال")):
+        if len(w) > 4:
+            is_verb, is_defined = False, True
+    elif w.startswith(("ال", "لل")):
+        if len(w) > 3:
+            is_verb, is_defined = False, True
+    # Normalize_pre
+    w = "".join(_AR_LIG.get(ch, ch) for ch in w
+                if ch not in _AR_DIAC and ch != _AR_TATWEEL)
+    # Suffixes: verb chain, else noun chain, else alef-maksura fold
+    handled = False
+    if is_verb:
+        w, handled = _ar_suffix_verb(w)
+    if not handled:
+        w, handled = _ar_suffix_noun(w, is_defined)
+    if not handled and w.endswith("ى"):
+        w = w[:-1] + "ي"
+    # Prefixes
+    w = _ar_prefixes(w, is_verb)
+    # Normalize_post: final hamza carrier → ء, then the global sweep
+    if w and w[-1] in "آأإؤئ":
+        w = w[:-1] + "ء"
+    w = w.translate(_AR_POST)
+    # a token of nothing but diacritics/tatweel empties out in
+    # Normalize_pre — surface the original token instead
+    return w if w else word
+
+
 STEMMERS = {
     "english": stem,        # Porter2 (Snowball English)
     "porter": porter_stem,  # original Porter (1980)
@@ -2624,4 +2823,5 @@ STEMMERS = {
     "romanian": romanian_stem,  # Snowball Romanian
     "hungarian": hungarian_stem,  # Snowball Hungarian
     "finnish": finnish_stem,  # Snowball Finnish
+    "arabic": arabic_stem,  # Snowball Arabic
 }

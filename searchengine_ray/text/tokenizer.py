@@ -78,7 +78,7 @@ def load_stop_words(path: str | Path | None) -> frozenset[str] | None:
 SUPPORTED_LANGUAGES = frozenset(
     {"english", "porter", "german", "spanish", "french", "italian",
      "portuguese", "dutch", "russian", "swedish", "danish", "norwegian",
-     "romanian", "hungarian", "finnish"}
+     "romanian", "hungarian", "finnish", "arabic"}
 )
 
 

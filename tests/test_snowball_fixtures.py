@@ -22,9 +22,7 @@ import pytest
 from searchengine_ray.text import stemmer
 
 FIXTURES = Path(__file__).parent / "fixtures" / "snowball"
-LANGS = sorted(
-    p.stem for p in FIXTURES.glob("*.tsv") if p.stem != "arabic"
-)
+LANGS = sorted(p.stem for p in FIXTURES.glob("*.tsv"))
 
 
 def _pairs(lang: str) -> list[tuple[str, str]]:

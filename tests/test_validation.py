@@ -14,13 +14,12 @@ from searchengine_ray.text.tokenizer import Tokenizer
 
 def test_unsupported_language_raises():
     with pytest.raises(ValueError, match="unsupported stemmer language"):
-        Tokenizer(language="arabic")       # the one remaining gap
-    with pytest.raises(ValueError, match="unsupported stemmer language"):
         Tokenizer(language="klingon")
     Tokenizer(language="english")  # ok (Porter2)
     Tokenizer(language="finnish")  # ok (Snowball Finnish, round 4)
     Tokenizer(language="porter")   # ok (original Porter 1980)
     Tokenizer(language="german")   # ok (Snowball German)
+    Tokenizer(language="arabic")   # ok (Snowball Arabic, round 5)
     Tokenizer(language=None)       # ok (no stemming)
 
 
@@ -83,9 +82,9 @@ def test_manifest_records_supported_languages(small_index):
     _, idx = small_index
     m = load_manifest(idx)
     assert m["tokenizer"]["supported_languages"] == \
-        ["danish", "dutch", "english", "finnish", "french", "german",
-         "hungarian", "italian", "norwegian", "porter", "portuguese",
-         "romanian", "russian", "spanish", "swedish"]
+        ["arabic", "danish", "dutch", "english", "finnish", "french",
+         "german", "hungarian", "italian", "norwegian", "porter",
+         "portuguese", "romanian", "russian", "spanish", "swedish"]
 
 
 def test_consolidated_reduce_equivalence(ray_session, tmp_path):

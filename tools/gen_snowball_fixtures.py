@@ -178,14 +178,24 @@ CURATED: dict[str, list[str]] = {
         ekonomiska politiska mänskliga personliga egentliga vanliga
         olika nödvändiga hittills överhuvudtaget småningom klokast
     """.split(),
-    "arabic": """
+    "arabic": (
+        """
         الكلمات كتاب الكتاب كتابه كتابها كتبهم مكتبة المكتبات يكتبون
         كاتب كاتبون مكتوب المدرسة مدارس المدارس معلم المعلمون معلمات
         درس دروس الدروس يدرسون دراسة الدراسات استخدام الاستخدامات
         يستخدمون مستخدم الحكومة حكومات قرار القرارات مسؤولية تطوير
         التطويرات إمكانية الإمكانيات بحث الأبحاث باحثون جامعة الجامعات
         طلاب الطلاب علماء أعمال الأعمال عاملون فعالية وسائل الوسائل
-    """.split(),
+        بالكتاب كالكتاب للعلم والعلم فالكتاب وكتاب بكتاب ككتاب ببيت
+        سيكتبون ستكتب سنكتب سأكتب يستقبل تستقبل نستقبل سيستقبل سييستخ
+        كتبوا كتبتم كتبنا كتبتما كتبن كتبتن تكتبين اكتبوا كتبناه
+        كتبتموه رأيتموه مستشفى بنى على أسئلة إسلام آخر مآخذ يأكل
+        تأثير سؤال رأس قرأ شيء بطء لؤلؤ مئة رئيس بئر ذئب مؤمن قارئ
+        المعلمان الطالبات الكتابي العربي عربي كرسي مصري قاضي الذي
+        مدرساتها معلماتنا طالباتهم سياراتكم كتاباته فنان سكان زمان
+        مكان المكان أمان ﻻزم إلا كَتَبَ مُدَرِّسَة
+        """
+    ).split(),
 }
 
 
