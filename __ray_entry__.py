@@ -86,6 +86,34 @@ def _index_for(sf_dir: str, cfg) -> str:
     return out
 
 
+def _bm25f_indexes_for(sf_dir: str, cfg) -> tuple[str, str]:
+    """(body_index, title_index): the body index is the shared cached
+    one; the title index is built (once, cached) over the derived
+    title column (body's first 5 whitespace tokens)."""
+    from searchengine_ray.build.pipeline import MANIFEST_NAME, build_index
+    from searchengine_ray.query.bm25f import derive_title_batch
+
+    body = _index_for(sf_dir, cfg)
+    key = hashlib.md5(
+        f"bm25f-title|{sf_dir}|{sorted(cfg.to_manifest().items())}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/graft_indexes/{key}"
+    os.makedirs(root, exist_ok=True)
+    titles = os.path.join(root, "titles.parquet")
+    if not os.path.exists(titles):
+        import pyarrow.parquet as _pq
+
+        docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+        _pq.write_table(derive_title_batch(docs), titles + ".tmp")
+        os.replace(titles + ".tmp", titles)
+    idx = os.path.join(root, "idx")
+    if not os.path.exists(os.path.join(idx, MANIFEST_NAME)):
+        build_index(titles, idx, cfg, id_column="doc_id",
+                    text_column="text", url_column=None)
+    return body, idx
+
+
 def _half_indexes_for(sf_dir: str, cfg) -> list[str]:
     """Build (once, cached) TWO half-corpus indexes (doc_id parity
     split) — shared by the merge and federation contracts."""
@@ -714,6 +742,30 @@ def _search_suite(idx: str, **searcher_kw) -> pa.Table:
 
 def _q_search_bm25(sf_dir: str):
     return _search_suite(_index_for(sf_dir, _full_cfg()))
+
+
+def _q_search_bm25f(sf_dir: str):
+    """BM25F (title weight 2.0) over the body index + a title index
+    derived from the body's first 5 whitespace tokens — per-field
+    normalized tf combined before the BM25 saturation
+    (query/bm25f.Bm25fSearcher)."""
+    from searchengine_ray.query.bm25f import Bm25fSearcher
+
+    body, title = _bm25f_indexes_for(sf_dir, _full_cfg())
+    s = Bm25fSearcher(body, title, w_body=1.0, w_title=2.0)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = s.search(q, TOPK, with_urls=False)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(_q4(t["score"].to_numpy(zero_copy_only=False)).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_q4": pa.array(scores, pa.int64()),
+    })
 
 
 def _q_suggest(sf_dir: str):
@@ -1661,6 +1713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # first); the previously-sampled anchors follow.  Every entry is equally
     # covered by tools/check_contract.py, which sweeps all of them.
     return {
+        # -- new in round 5 --------------------------------------------------
+        "search_bm25f": _q_search_bm25f,
         # -- never externally sampled before round 5 (priority head) --------
         "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
@@ -2407,6 +2461,10 @@ def oracle_sql() -> dict[str, str]:
     out["search_bm25_arabic"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, _full_cfg(language="arabic"),
         DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_bm25f"] = oracles.sql_search_bm25f(
+        pclass, SEARCH_QUERIES, _full_cfg(), DEFAULT_STOP_WORDS, TOPK,
+        w_body=1.0, w_title=2.0,
     )
     out["search_phrase"] = oracles.sql_search_phrase(
         pclass, PHRASE_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK

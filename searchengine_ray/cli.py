@@ -103,6 +103,18 @@ def cmd_search(args) -> int:
                   f"{row['doc_id']}")
         return 0
 
+    if args.title_index:
+        from searchengine_ray.query.bm25f import Bm25fSearcher
+
+        if not args.query:
+            raise SystemExit("--title-index (BM25F) needs --query")
+        fs = Bm25fSearcher(args.search_index, args.title_index,
+                           w_title=args.title_weight)
+        for row in fs.search(args.query, args.n).to_pylist():
+            print(f"{row['rank']:3d}  {row['score']:.6f}  "
+                  f"{row['doc_id']}  {row['url']}")
+        return 0
+
     s = Searcher(
         args.search_index,
         ranker=RankerType(args.ranker) if args.ranker else None,
@@ -616,6 +628,10 @@ def main(argv=None) -> int:
                     help="ordered proximity query: terms in order "
                          "within a window padded by SLOP (0 = exact "
                          "phrase; positional index only)")
+    ps.add_argument("--title-index", default=None,
+                    help="second index built over a title field -> "
+                         "BM25F per-field scoring (see --title-weight)")
+    ps.add_argument("--title-weight", type=float, default=2.0)
     ps.add_argument("--federate", nargs="+", default=None,
                     metavar="INDEX",
                     help="additional doc-partitioned indexes: fan the "
