@@ -32,8 +32,9 @@ def _add_index_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min-token-length", type=int, default=3)
     p.add_argument("--no-stop-words", action="store_true")
     p.add_argument("--language", default="english",
-                   help="'english' (Porter2), 'porter' (original 1980 "
-                        "Porter) or 'none' (no stemming)")
+                   help="any of the 16 Snowball languages ('english' = "
+                        "Porter2, 'porter' = original 1980 Porter, ... "
+                        "'arabic'), or 'none' (no stemming)")
     p.add_argument("--k", type=float, default=1.2)
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--schema", default="lnc.ltc")

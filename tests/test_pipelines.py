@@ -523,3 +523,26 @@ def test_curate_overwrite_guard(ray_session, tmp_path):
     assert {r["doc_id"] for r in out} == {0}
     assert not (out_dir / "precious.txt").exists()
     assert os.path.isdir(out_dir / "lang_pred=en")
+
+
+def test_minhash_empty_and_pairless_corpora(ray_session):
+    """The two-shuffle LSH path (sort → block pairs → pair-keyed
+    aggregate) must come back typed-empty for corpora with no pairs
+    and for fully empty corpora (Ray's empty sort-partition blocks are
+    the classic schemaless trap)."""
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import minhash_candidates
+
+    unique_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta",
+                          "completely different words here",
+                          "third unrelated doc text"], pa.string()),
+    }))
+    assert minhash_candidates(unique_docs).take_all() == []
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert minhash_candidates(empty).take_all() == []
