@@ -18,7 +18,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-_rs = np.random.RandomState(1234)  # fixed constants, not per-run randomness
+_LSH_SEED = 1234  # fixed constants, not per-run randomness
 _N_PLANES = 12
 _N_TABLES = 4
 
@@ -444,9 +444,19 @@ _PLANES: np.ndarray | None = None
 
 
 def _planes(dim: int) -> np.ndarray:
+    # A fresh stream per generation makes the planes a pure function of
+    # dim, so every worker process derives identical hyperplanes no
+    # matter which dims it bucketed earlier. The previous draw-from-a-
+    # shared-module-stream version was the ~1/7 full-suite flake: a
+    # REUSED Ray worker whose stream had already advanced past another
+    # test's dim produced different planes than its fresh-spawned
+    # peers, splitting identical vectors across buckets and silently
+    # dropping candidate pairs. (Values for the first dim a fresh
+    # stream ever drew are unchanged, so all pinned oracles hold.)
     global _PLANES
     if _PLANES is None or _PLANES.shape[2] != dim:
-        _PLANES = _rs.randn(_N_TABLES, _N_PLANES, dim)
+        _PLANES = np.random.RandomState(_LSH_SEED).randn(
+            _N_TABLES, _N_PLANES, dim)
     return _PLANES
 
 

@@ -51,6 +51,31 @@ def test_sparse_matches_naive():
     assert got == _naive(TEXTS)
 
 
+def test_lsh_planes_are_order_independent():
+    """Regression for the ~1/7 full-suite near-dup flake: hyperplanes
+    must be a pure function of dim. The old implementation drew them
+    lazily from a shared module-level RandomState STREAM, so a reused
+    Ray worker that had already generated planes for some other test's
+    dim produced different dim-64 planes than a fresh worker — the two
+    halves of a duplicate pair then hashed to different buckets and the
+    candidate silently vanished. Emulate the worker-reuse history by
+    clearing the cache between draws: planes for a dim must not depend
+    on which dims were generated before it."""
+    from searchengine_ray.pipelines import similarity as sim
+
+    saved = sim._PLANES
+    try:
+        sim._PLANES = None
+        fresh = sim._planes(64).copy()          # fresh worker: dim 64 first
+        sim._PLANES = None
+        sim._planes(16)                         # reused worker: other dim…
+        sim._PLANES = None
+        reused = sim._planes(64).copy()         # …then dim 64
+        np.testing.assert_array_equal(fresh, reused)
+    finally:
+        sim._PLANES = saved
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_composes_with_embedding_near_dup():
     """Raw text → hashed vectors → the existing embedding near-dup
