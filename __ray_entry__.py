@@ -1266,6 +1266,41 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds)
 
 
+def _linked_pages_ds(sf_dir: str):
+    """Deterministic linked-pages fixture (url, html with anchors),
+    synthesized DISTRIBUTED from the documents table — mirrored
+    verbatim by oracles.sql_linked_pages()."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from searchengine_ray.sources.pages import linked_pages_batch
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = _pq.read_metadata(path).num_rows
+    return ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        linked_pages_batch, fn_kwargs={"n_docs": n},
+        batch_format="pyarrow")
+
+
+def _q_extract_links(sf_dir: str):
+    """Anchor (href) extraction over the linked-pages fixture — one
+    vectorized split/slice/flatten/extract kernel chain per batch."""
+    from searchengine_ray.pipelines.graph import extract_links
+
+    return extract_links(_linked_pages_ds(sf_dir))
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the crawl's link graph: extract_links →
+    host_edges (ONE keyed count) → 3 integer-exact damped power
+    iterations (one hash join + one keyed sum per round)."""
+    from searchengine_ray.pipelines.graph import (extract_links,
+                                                  host_edges, pagerank)
+
+    return pagerank(host_edges(extract_links(_linked_pages_ds(sf_dir))),
+                    iters=3)
+
+
 def _q_extract_title(sf_dir: str):
     """HTML title extraction over the binary pages payload (vectorized
     RE2 extract, payload dropped)."""
@@ -1715,6 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 5 --------------------------------------------------
         "search_bm25f": _q_search_bm25f,
+        "extract_links": _q_extract_links,
+        "host_pagerank": _q_host_pagerank,
         # -- never externally sampled before round 5 (priority head) --------
         "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
@@ -2253,6 +2290,8 @@ def oracle_sql() -> dict[str, str]:
         ) + ")"
     )
     out["extract_title"] = oracles.sql_extract_title()
+    out["extract_links"] = oracles.sql_extract_links()
+    out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["hash_vectorize"] = (

@@ -1,0 +1,231 @@
+"""Web link-graph operators: anchor (href) extraction, host-level edge
+aggregation, and integer-exact PageRank.
+
+A crawl pipeline turns pages into a link graph (who links to whom) and
+a static authority prior (PageRank, Brin & Page WWW'98) that rankers
+blend with relevance scores. The reference engine
+(/root/reference/src/main.py — a single-text-column SPIMI indexer) has
+no graph stage; this module adds the standard web-scale one, shaped
+for Ray Data:
+
+- ``extract_links``: one vectorized kernel chain per batch
+  (``split_pattern`` on ``<a href="`` → ``list_slice`` drops each
+  page's preamble → ``list_flatten`` + ``list_parent_indices`` →
+  one RE2 ``extract_regex`` up to the closing quote). No per-row
+  Python, shuffle-free, html payload dropped at the batch boundary.
+- ``host_edges``: two RE2 host extracts + ONE keyed Count aggregate
+  over (src_host, dst_host) rows — host-PAIR cardinality is
+  web-bounded (edges between hosts), not corpus-bounded (pages).
+- ``pagerank``: the damped power iteration computed in INTEGER
+  arithmetic (the lm.py/pmi quantization discipline): ranks are int64
+  units of mass (``scale`` = rank 1.0), each edge's contribution is
+  ``(d_pct * rank * weight) // (100 * outdeg)`` — a floor division —
+  and each node's update is an integer sum, so the result is
+  order-free, partitioning-independent, and value-exact reproducible
+  by an unrolled DuckDB oracle. Each iteration is ONE hash join
+  (ranks → edges on src_host) + ONE keyed sum (dst_host) — the same
+  join+groupby round shape as clusters.py; the rank table is
+  node-sized and stays distributed (never broadcast, never collected).
+
+Dangling nodes (no out-edges) leak their damped mass instead of
+redistributing it — the classic simplified variant (Page et al.'s
+"dangling links are removed" preprocessing); exact redistribution
+would need one tiny scalar fold per round (sum of dangling rank) and
+can be added without changing the round shape.
+
+int64 headroom: a contribution computes ``d_pct · rank · weight``
+before dividing; all products use Arrow *_checked kernels, so an
+overflow raises loudly instead of wrapping. Total mass is bounded by
+n_nodes · scale, so with the default ``scale=10^9`` even a single
+host absorbing an entire 10^7-host graph's mass stays 100× inside
+int64.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .web import _HOST
+
+_A_OPEN = '<a href="'
+_HREF_BODY = r'^(?P<h>[^"]*)'
+
+
+def extract_links_batch(batch: pa.Table, html_col: str = "html",
+                        url_col: str = "url") -> pa.Table:
+    """(url, html) batch → (url, href) rows, one per anchor tag, in
+    document order. Pages with no anchors contribute no rows."""
+    h = batch[html_col]
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    s = h.cast(pa.string())  # payloads are utf-8 html
+    # every list element AFTER the first begins right after an
+    # `<a href="` occurrence; the href is its prefix up to `"`
+    parts = pc.list_slice(pc.split_pattern(s, _A_OPEN), 1)
+    flat = pc.list_flatten(parts)
+    par = pc.list_parent_indices(parts)
+    href = pc.struct_field(pc.extract_regex(flat, _HREF_BODY), "h")
+    urls = batch[url_col]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pa.table({"url": pc.take(urls, par), "href": href})
+
+
+def extract_links(ds, html_col: str = "html", url_col: str = "url"):
+    """→ Dataset (url, href): every anchor href in every page.
+    Vectorized, shuffle-free; the html payload is dropped here, so
+    downstream stages ship only the (short) url pairs."""
+    return ds.map_batches(
+        extract_links_batch,
+        fn_kwargs={"html_col": html_col, "url_col": url_col},
+        batch_format="pyarrow",
+    )
+
+
+def _host_of(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = pc.extract_regex(col, _HOST)
+    return pc.utf8_lower(pc.coalesce(pc.struct_field(m, "h"), ""))
+
+
+def host_edges(links_ds, drop_self: bool = True):
+    """(url, href) links → Dataset (src_host, dst_host, weight):
+    the host-level link graph, weight = number of page-level links.
+    Non-http(s) hrefs (mailto:, relative paths) and — by default —
+    host self-loops are dropped. ONE keyed Count aggregate; the
+    shuffle rows are (src_host, dst_host) only."""
+    from ray.data.aggregate import Count
+
+    def to_hosts(b: pa.Table) -> pa.Table:
+        t = pa.table({"src_host": _host_of(b["url"]),
+                      "dst_host": _host_of(b["href"])})
+        keep = pc.and_(pc.not_equal(t["src_host"], ""),
+                       pc.not_equal(t["dst_host"], ""))
+        if drop_self:
+            keep = pc.and_(
+                keep, pc.not_equal(t["src_host"], t["dst_host"]))
+        return t.filter(keep)
+
+    agg = (links_ds.map_batches(to_hosts, batch_format="pyarrow")
+           .groupby(["src_host", "dst_host"]).aggregate(Count()))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": b["src_host"],
+            "dst_host": b["dst_host"],
+            "weight": b["count()"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _contrib(b: pa.Table, damping_pct: int) -> pa.Array:
+    """Per-edge integer contribution (d·rank·w) // (100·od) — Arrow
+    checked kernels, so int64 overflow raises instead of wrapping."""
+    rq = b["rq"].cast(pa.int64())
+    w = b["weight"].cast(pa.int64())
+    od = b["od"].cast(pa.int64())
+    num = pc.multiply_checked(
+        pc.multiply_checked(rq, w), pa.scalar(damping_pct, pa.int64()))
+    den = pc.multiply_checked(od, pa.scalar(100, pa.int64()))
+    # Arrow integer divide truncates; all operands are non-negative,
+    # so truncation == floor — matching DuckDB's `//`
+    out = pc.divide_checked(num, den)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def _col(b: pa.Table, name: str) -> pa.Array:
+    c = b[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
+             scale: int = 10 ** 9, num_partitions: int = 16):
+    """(src_host, dst_host, weight) edges → Dataset (host, rank_q):
+    ``iters`` rounds of the damped power iteration in int64 units
+    (``scale`` = rank 1.0; every node starts at ``scale``).
+
+    rank'(v) = ((100-d)·scale)//100
+               + Σ_{u→v} (d · rank(u) · w(u,v)) // (100 · outdeg_w(u))
+
+    All arithmetic is integer (floor divisions, integer sums), so the
+    result is independent of partitioning, join order and summation
+    order — and value-exact reproducible by an unrolled SQL oracle.
+    Each round: one hash join + one keyed sum; the rank table stays
+    distributed."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges_ds.materialize()
+    # empty hash partitions produce schemaless blocks that break the
+    # pyarrow join — size the partition count to the data (the
+    # clusters.py guard)
+    num_partitions = max(2, min(num_partitions,
+                                edges.count() // 1000 + 2))
+
+    outdeg = (edges.groupby("src_host")
+              .aggregate(Sum("weight", alias_name="od"))
+              .map_batches(lambda b: pa.table(
+                  {"od_src": b["src_host"],
+                   "od": b["od"].cast(pa.int64())}),
+                  batch_format="pyarrow"))
+    # outdegree attaches ONCE; every iteration reuses the joined edges
+    e = edges.join(
+        outdeg, join_type="inner", num_partitions=num_partitions,
+        on=("src_host",), right_on=("od_src",),
+    ).materialize()
+
+    nodes = (edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [_col(b, "src_host"), _col(b, "dst_host")])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count())
+        .map_batches(lambda b: pa.table({"node": b["node"]}),
+                     batch_format="pyarrow")
+        .repartition(num_partitions).materialize())
+
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.map_batches(
+        lambda b, s=scale: pa.table({
+            "node": b["node"],
+            "rank_q": pa.array([s] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        msgs = e.join(
+            ranks.map_batches(lambda b: pa.table(
+                {"r_node": b["node"], "rq": b["rank_q"]}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("src_host",), right_on=("r_node",),
+        ).map_batches(
+            lambda b, d=damping_pct: pa.table({
+                "node": b["dst_host"], "c": _contrib(b, d)}),
+            batch_format="pyarrow",
+        )
+        # zero rows keep in-edge-less nodes present (they get `base`)
+        zero = nodes.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "c": pa.array([0] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        ranks = (msgs.union(zero).groupby("node")
+                 .aggregate(Sum("c", alias_name="s"))
+                 .map_batches(lambda b, bb=base: pa.table({
+                     "node": b["node"],
+                     "rank_q": pc.add_checked(
+                         b["s"].cast(pa.int64()),
+                         pa.scalar(bb, pa.int64()))}),
+                     batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+
+    return ranks.map_batches(
+        lambda b: pa.table({"host": b["node"], "rank_q": b["rank_q"]}),
+        batch_format="pyarrow")

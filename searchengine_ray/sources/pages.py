@@ -113,6 +113,31 @@ def materialize_bench_corpus(
     return sorted(paths)
 
 
+def linked_pages_batch(batch: pa.Table, n_docs: int,
+                       links_per_doc: int = 3,
+                       n_hosts: int = 16) -> pa.Table:
+    """documents(doc_id) batch → linked pages (url, html): doc ``d``
+    lives on host ``src{d % n_hosts}.example.test`` and anchors to docs
+    ``t_j = (31·d + 7·j + 1) % n_docs`` (j < links_per_doc) on THEIR
+    arithmetic hosts — a deterministic, sf-independent link fixture for
+    the graph operators, mirrored verbatim by
+    ``oracles.sql_linked_pages()``. Host self-links arise whenever
+    ``t_j ≡ d (mod n_hosts)`` and exercise ``host_edges``' drop_self."""
+    ids = batch["doc_id"].to_pylist()
+    urls, htmls = [], []
+    for d in ids:
+        urls.append(f"https://src{d % n_hosts}.example.test/doc/{d:010d}")
+        anchors = "".join(
+            f'<a href="https://src{t % n_hosts}.example.test'
+            f'/doc/{t:010d}">l</a>'
+            for t in ((31 * d + 7 * j + 1) % n_docs
+                      for j in range(links_per_doc)))
+        htmls.append(f"<html><head><title>doc {d}</title></head>"
+                     f"<body>{anchors}</body></html>".encode())
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.binary())})
+
+
 def unit_pages() -> pa.Table:
     """Tiny handcrafted corpus covering the FIXTURES.md nasty cases:
     ASCII punctuation, Unicode words, literal tabs/newlines, short tokens,
