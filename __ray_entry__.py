@@ -768,6 +768,47 @@ def _q_search_bm25f(sf_dir: str):
     })
 
 
+def _q_search_bm25_prior(sf_dir: str):
+    """BM25 relevance × PageRank host authority (Brin & Page §4.5.2
+    blend): quantize-then-integer-multiply, so the blended score is
+    pure int64 over two independently hash-verified quantities.
+    Blends over the FULL match set, then cuts top-k."""
+    from searchengine_ray.pipelines.graph import (extract_links,
+                                                  host_edges, pagerank)
+    from searchengine_ray.query.engine import Searcher
+    from searchengine_ray.query.prior import host_prior, search_with_prior
+
+    import pyarrow.parquet as _pq
+
+    prior = host_prior(pagerank(
+        host_edges(extract_links(_linked_pages_ds(sf_dir))), iters=3))
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    # the contract index is keyed by bare doc_id (no real urls), so the
+    # doc→host map comes from the documents table's source column —
+    # a driver-side fixture dict (like _q_url_dedup), not an operator
+    # pattern; real indexes derive the host from the indexed url
+    dtab = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+    host_of = dict(zip(dtab["doc_id"].to_pylist(),
+                       (x + ".example.test"
+                        for x in dtab["source"].to_pylist())))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(SEARCH_QUERIES):
+        t = search_with_prior(
+            s, q, prior, top_n=TOPK,
+            host_fn=lambda ids, urls: [host_of[int(i)] for i in ids])
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(t["score_b"].to_pylist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_b": pa.array(scores, pa.int64()),
+    })
+
+
 def _q_suggest(sf_dir: str):
     """Prefix autocomplete from the term shards: top-10 '-s' terms by
     df — boundary routing prunes the read to the prefix's contiguous
@@ -1752,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25f": _q_search_bm25f,
         "extract_links": _q_extract_links,
         "host_pagerank": _q_host_pagerank,
+        "search_bm25_prior": _q_search_bm25_prior,
         # -- never externally sampled before round 5 (priority head) --------
         "search_explain": _q_search_explain,
         "search_bm25_german": _q_search_bm25_german,
@@ -1761,11 +1803,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_portuguese": _q_search_bm25_portuguese,
         "search_bm25_dutch": _q_search_bm25_dutch,
         "search_bm25_russian": _q_search_bm25_russian,
-        "search_bm25_swedish": _q_search_bm25_swedish,
-        "search_bm25_danish": _q_search_bm25_danish,
-        "search_bm25_norwegian": _q_search_bm25_norwegian,
-        "search_bm25_romanian": _q_search_bm25_romanian,
-        "search_bm25_hungarian": _q_search_bm25_hungarian,
         "search_bm25_finnish": _q_search_bm25_finnish,
         "search_bm25_arabic": _q_search_bm25_arabic,
         "search_phrase": _q_search_phrase,
@@ -1805,6 +1842,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_clusters": _q_embedding_clusters,
         # -- never sampled, lower-priority variants (next in line) ----------
+        # (these five stemmers are pinned by independent official
+        # Snowball fixtures, so they yield the external-sample head to
+        # the distributed near-dup/cluster/IVF ops above)
+        "search_bm25_swedish": _q_search_bm25_swedish,
+        "search_bm25_hungarian": _q_search_bm25_hungarian,
+        "search_bm25_danish": _q_search_bm25_danish,
+        "search_bm25_norwegian": _q_search_bm25_norwegian,
+        "search_bm25_romanian": _q_search_bm25_romanian,
         "sessionize_salted": _q_sessionize_salted,
         "events_asof_salted": _q_events_asof_salted,
         "exact_sample": _q_exact_sample,
@@ -2292,6 +2337,11 @@ def oracle_sql() -> dict[str, str]:
     out["extract_title"] = oracles.sql_extract_title()
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
+    out["search_bm25_prior"] = oracles.sql_search_bm25_prior(
+        oracles.sql_search_bm25(
+            pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS,
+            1_000_000_000),
+        oracles.sql_host_pagerank(iters=3), TOPK)
     out["simhash_pairs"] = oracles.sql_simhash_pairs(pclass)
     out["minhash_pairs"] = oracles.sql_minhash_pairs(pclass)
     out["hash_vectorize"] = (

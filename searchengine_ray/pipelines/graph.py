@@ -176,11 +176,13 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
                   {"od_src": b["src_host"],
                    "od": b["od"].cast(pa.int64())}),
                   batch_format="pyarrow"))
-    # outdegree attaches ONCE; every iteration reuses the joined edges
+    # outdegree attaches ONCE; every iteration reuses the joined edges.
+    # repartition merges away schemaless empty join partitions, which
+    # the NEXT join cannot key (the similarity.py round-2 gotcha)
     e = edges.join(
         outdeg, join_type="inner", num_partitions=num_partitions,
         on=("src_host",), right_on=("od_src",),
-    ).materialize()
+    ).repartition(num_partitions).materialize()
 
     nodes = (edges.map_batches(
         lambda b: pa.table({"node": pa.concat_arrays(
