@@ -1307,10 +1307,14 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(ds)
 
 
-def _linked_pages_ds(sf_dir: str):
+def _linked_pages_ds(sf_dir: str, rich_anchors: bool = False,
+                     drop_mod: int | None = None):
     """Deterministic linked-pages fixture (url, html with anchors),
     synthesized DISTRIBUTED from the documents table — mirrored
-    verbatim by oracles.sql_linked_pages()."""
+    verbatim by oracles.sql_linked_pages(). ``drop_mod`` removes the
+    pages of docs with ``doc_id % drop_mod == 0`` (targets still use
+    the FULL id domain), making those docs' hosts dangling — in-links
+    only — for the redistribution variant."""
     import pyarrow.parquet as _pq
     import ray.data
 
@@ -1318,8 +1322,19 @@ def _linked_pages_ds(sf_dir: str):
 
     path = os.path.join(sf_dir, "documents.parquet")
     n = _pq.read_metadata(path).num_rows
-    return ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
-        linked_pages_batch, fn_kwargs={"n_docs": n},
+    ds = ray.data.read_parquet(path, columns=["doc_id"])
+    if drop_mod:
+        def _drop(b: pa.Table, m: int = drop_mod) -> pa.Table:
+            ids = b["doc_id"].cast(pa.int64())
+            # id - (id // m) * m == id % m (ids are non-negative)
+            rem = pc.subtract(ids, pc.multiply(
+                pc.divide(ids, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+            return b.filter(pc.not_equal(rem, 0))
+        ds = ds.map_batches(_drop, batch_format="pyarrow")
+    return ds.map_batches(
+        linked_pages_batch,
+        fn_kwargs={"n_docs": n, "rich_anchors": rich_anchors},
         batch_format="pyarrow")
 
 
@@ -1340,6 +1355,31 @@ def _q_host_pagerank(sf_dir: str):
 
     return pagerank(host_edges(extract_links(_linked_pages_ds(sf_dir))),
                     iters=3)
+
+
+def _q_anchor_terms(sf_dir: str):
+    """Inbound anchor-text term counts keyed by TARGET host (the
+    classic web signal: anchor text describes the page it points to).
+    Vectorized (href, anchor) extraction → ONE keyed Count."""
+    from searchengine_ray.pipelines.graph import (anchor_terms,
+                                                  extract_anchors)
+
+    return anchor_terms(extract_anchors(
+        _linked_pages_ds(sf_dir, rich_anchors=True)))
+
+
+def _q_host_pagerank_dangling(sf_dir: str):
+    """PageRank with exact dangling-mass redistribution. Docs with
+    id % 4 == 0 have no page (drop_mod=4) but remain link targets, so
+    their hosts receive mass they never emit — genuinely dangling. Per
+    round, the dangling rank sum is ONE scalar fold, spread uniformly
+    into every node's base."""
+    from searchengine_ray.pipelines.graph import (extract_links,
+                                                  host_edges, pagerank)
+
+    return pagerank(
+        host_edges(extract_links(_linked_pages_ds(sf_dir, drop_mod=4))),
+        iters=3, redistribute_dangling=True)
 
 
 def _q_extract_title(sf_dir: str):
@@ -1793,6 +1833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25f": _q_search_bm25f,
         "extract_links": _q_extract_links,
         "host_pagerank": _q_host_pagerank,
+        "host_pagerank_dangling": _q_host_pagerank_dangling,
+        "anchor_terms": _q_anchor_terms,
         "search_bm25_prior": _q_search_bm25_prior,
         # -- never externally sampled before round 5 (priority head) --------
         "search_explain": _q_search_explain,
@@ -2337,6 +2379,9 @@ def oracle_sql() -> dict[str, str]:
     out["extract_title"] = oracles.sql_extract_title()
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
+    out["host_pagerank_dangling"] = oracles.sql_host_pagerank(
+        iters=3, redistribute=True, drop_mod=4)
+    out["anchor_terms"] = oracles.sql_anchor_terms(pclass)
     out["search_bm25_prior"] = oracles.sql_search_bm25_prior(
         oracles.sql_search_bm25(
             pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS,

@@ -13,6 +13,10 @@ for Ray Data:
   page's preamble → ``list_flatten`` + ``list_parent_indices`` →
   one RE2 ``extract_regex`` up to the closing quote). No per-row
   Python, shuffle-free, html payload dropped at the batch boundary.
+- ``extract_anchors`` / ``anchor_terms``: the same chain also
+  capturing anchor TEXT, then term counts keyed by the TARGET host —
+  the classic inbound-anchor relevance signal (anchor text describes
+  the page it points to, Brin & Page WWW'98 §2.2). ONE keyed Count.
 - ``host_edges``: two RE2 host extracts + ONE keyed Count aggregate
   over (src_host, dst_host) rows — host-PAIR cardinality is
   web-bounded (edges between hosts), not corpus-bounded (pages).
@@ -27,11 +31,16 @@ for Ray Data:
   join+groupby round shape as clusters.py; the rank table is
   node-sized and stays distributed (never broadcast, never collected).
 
-Dangling nodes (no out-edges) leak their damped mass instead of
-redistributing it — the classic simplified variant (Page et al.'s
-"dangling links are removed" preprocessing); exact redistribution
-would need one tiny scalar fold per round (sum of dangling rank) and
-can be added without changing the round shape.
+Dangling nodes (no out-edges) leak their damped mass by default —
+the classic simplified variant (Page et al.'s "dangling links are
+removed" preprocessing). ``redistribute_dangling=True`` switches to
+the exact stochastic variant: each round, the total dangling rank D
+(ONE tiny inner join of the rank table against the precomputed
+dangling-node set + a scalar Sum fold — a 1-row driver sync, the
+only driver-side value in the loop) is spread uniformly as
+``(d_pct · D) // (100 · n_nodes)`` added to every node's base. The
+round shape is unchanged: the dangling set is computed ONCE via a
+left-anti join (nodes ∖ out-edge sources).
 
 int64 headroom: a contribution computes ``d_pct · rank · weight``
 before dividing; all products use Arrow *_checked kernels, so an
@@ -81,6 +90,77 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
         fn_kwargs={"html_col": html_col, "url_col": url_col},
         batch_format="pyarrow",
     )
+
+
+_ANCHOR_BODY = r'^(?P<h>[^"]*)"[^>]*>(?P<t>[^<]*)'
+
+
+def extract_anchors_batch(batch: pa.Table, html_col: str = "html",
+                          url_col: str = "url") -> pa.Table:
+    """(url, html) batch → (url, href, anchor) rows: like
+    ``extract_links_batch`` but also capturing the anchor TEXT (up to
+    the first ``<`` after the tag closes; attributes after the href
+    are skipped). A malformed tag (quote never closed by ``>``)
+    yields an empty anchor."""
+    h = batch[html_col]
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    s = h.cast(pa.string())
+    parts = pc.list_slice(pc.split_pattern(s, _A_OPEN), 1)
+    flat = pc.list_flatten(parts)
+    par = pc.list_parent_indices(parts)
+    m = pc.extract_regex(flat, _ANCHOR_BODY)
+    # the two-group regex misses malformed tags entirely — recover the
+    # href with the single-group pass and blank the anchor
+    href = pc.coalesce(pc.struct_field(m, "h"),
+                       pc.struct_field(pc.extract_regex(flat, _HREF_BODY),
+                                       "h"))
+    anchor = pc.coalesce(pc.struct_field(m, "t"), "")
+    urls = batch[url_col]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pa.table({"url": pc.take(urls, par), "href": href,
+                     "anchor": anchor})
+
+
+def extract_anchors(ds, html_col: str = "html", url_col: str = "url"):
+    """→ Dataset (url, href, anchor): every anchor tag with its text.
+    Vectorized, shuffle-free, payload dropped at the batch boundary."""
+    return ds.map_batches(
+        extract_anchors_batch,
+        fn_kwargs={"html_col": html_col, "url_col": url_col},
+        batch_format="pyarrow",
+    )
+
+
+def anchor_terms(anchors_ds):
+    """(url, href, anchor) rows → Dataset (host, term, cnt): inbound
+    anchor-text term counts keyed by the TARGET host — the classic web
+    ranking signal (anchor text describes the page it points TO, often
+    better than the page's own text; Brin & Page WWW'98 §2.2). Terms
+    use the simple normalize chain (punct→space, lower, \\s+ split,
+    len ≥ 2 — the analysis.py convention); non-http(s) targets are
+    dropped. ONE keyed Count aggregate over (host, term) rows — the
+    shuffle is term-occurrence-sized, never payload-sized."""
+    from ray.data.aggregate import Count
+
+    from .analysis import simple_tokens_flat
+
+    def to_terms(b: pa.Table) -> pa.Table:
+        host = _host_of(b["href"])
+        a = b["anchor"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        flat, parents = simple_tokens_flat(pc.coalesce(a, ""))
+        t = pa.table({"host": pc.take(host, parents), "term": flat})
+        return t.filter(pc.not_equal(t["host"], ""))
+
+    agg = (anchors_ds.map_batches(to_terms, batch_format="pyarrow")
+           .groupby(["host", "term"]).aggregate(Count()))
+    return agg.map_batches(
+        lambda b: pa.table({"host": b["host"], "term": b["term"],
+                            "cnt": b["count()"].cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def _host_of(col) -> pa.Array:
@@ -144,18 +224,21 @@ def _col(b: pa.Table, name: str) -> pa.Array:
 
 
 def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
-             scale: int = 10 ** 9, num_partitions: int = 16):
+             scale: int = 10 ** 9, num_partitions: int = 16,
+             redistribute_dangling: bool = False):
     """(src_host, dst_host, weight) edges → Dataset (host, rank_q):
     ``iters`` rounds of the damped power iteration in int64 units
     (``scale`` = rank 1.0; every node starts at ``scale``).
 
-    rank'(v) = ((100-d)·scale)//100
+    rank'(v) = ((100-d)·scale)//100 [+ (d·D)//(100·n) if redistributing]
                + Σ_{u→v} (d · rank(u) · w(u,v)) // (100 · outdeg_w(u))
 
-    All arithmetic is integer (floor divisions, integer sums), so the
-    result is independent of partitioning, join order and summation
-    order — and value-exact reproducible by an unrolled SQL oracle.
-    Each round: one hash join + one keyed sum; the rank table stays
+    where D = Σ rank(u) over dangling u (no out-edges). All arithmetic
+    is integer (floor divisions, integer sums), so the result is
+    independent of partitioning, join order and summation order — and
+    value-exact reproducible by an unrolled SQL oracle. Each round:
+    one hash join + one keyed sum (+ one scalar dangling-mass fold
+    when ``redistribute_dangling``); the rank table stays
     distributed."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -193,6 +276,22 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
                      batch_format="pyarrow")
         .repartition(num_partitions).materialize())
 
+    dang = None
+    n_nodes = 0
+    if redistribute_dangling:
+        # nodes with no out-edges, computed ONCE (left-anti join);
+        # empty is fine — the per-round fold then yields D = 0
+        dang = nodes.join(
+            outdeg.map_batches(
+                lambda b: pa.table({"node": b["od_src"]}),
+                batch_format="pyarrow"),
+            join_type="left_anti", num_partitions=num_partitions,
+            on=("node",),
+        ).repartition(num_partitions).materialize()
+        n_nodes = nodes.count()
+        if dang.count() == 0:
+            dang = None
+
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.map_batches(
         lambda b, s=scale: pa.table({
@@ -201,6 +300,18 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
         batch_format="pyarrow").materialize()
 
     for _ in range(iters):
+        base_r = base
+        if dang is not None:
+            # the round's ONLY driver sync: a 1-row scalar — total
+            # rank mass parked on dangling nodes this round
+            got = ranks.join(
+                dang.map_batches(lambda b: pa.table(
+                    {"dg_node": b["node"]}), batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("node",), right_on=("dg_node",),
+            ).aggregate(Sum("rank_q", alias_name="dm"))
+            d_mass = int((got or {}).get("dm") or 0)
+            base_r = base + (damping_pct * d_mass) // (100 * n_nodes)
         msgs = e.join(
             ranks.map_batches(lambda b: pa.table(
                 {"r_node": b["node"], "rq": b["rank_q"]}),
@@ -220,7 +331,7 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
             batch_format="pyarrow")
         ranks = (msgs.union(zero).groupby("node")
                  .aggregate(Sum("c", alias_name="s"))
-                 .map_batches(lambda b, bb=base: pa.table({
+                 .map_batches(lambda b, bb=base_r: pa.table({
                      "node": b["node"],
                      "rank_q": pc.add_checked(
                          b["s"].cast(pa.int64()),

@@ -115,23 +115,28 @@ def materialize_bench_corpus(
 
 def linked_pages_batch(batch: pa.Table, n_docs: int,
                        links_per_doc: int = 3,
-                       n_hosts: int = 16) -> pa.Table:
+                       n_hosts: int = 16,
+                       rich_anchors: bool = False) -> pa.Table:
     """documents(doc_id) batch → linked pages (url, html): doc ``d``
     lives on host ``src{d % n_hosts}.example.test`` and anchors to docs
     ``t_j = (31·d + 7·j + 1) % n_docs`` (j < links_per_doc) on THEIR
     arithmetic hosts — a deterministic, sf-independent link fixture for
     the graph operators, mirrored verbatim by
     ``oracles.sql_linked_pages()``. Host self-links arise whenever
-    ``t_j ≡ d (mod n_hosts)`` and exercise ``host_edges``' drop_self."""
+    ``t_j ≡ d (mod n_hosts)`` and exercise ``host_edges``' drop_self.
+    ``rich_anchors`` swaps the constant anchor label for a varied,
+    deterministic one (``ref {t} link{j}``) so anchor-TEXT operators
+    get a non-trivial term distribution."""
     ids = batch["doc_id"].to_pylist()
     urls, htmls = [], []
     for d in ids:
         urls.append(f"https://src{d % n_hosts}.example.test/doc/{d:010d}")
         anchors = "".join(
             f'<a href="https://src{t % n_hosts}.example.test'
-            f'/doc/{t:010d}">l</a>'
-            for t in ((31 * d + 7 * j + 1) % n_docs
-                      for j in range(links_per_doc)))
+            f'/doc/{t:010d}">'
+            + (f"ref {t} link{j}" if rich_anchors else "l") + "</a>"
+            for j, t in ((j, (31 * d + 7 * j + 1) % n_docs)
+                         for j in range(links_per_doc)))
         htmls.append(f"<html><head><title>doc {d}</title></head>"
                      f"<body>{anchors}</body></html>".encode())
     return pa.table({"url": pa.array(urls, pa.string()),
