@@ -1797,6 +1797,55 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
 
 
+def _q_host_hits(sf_dir: str):
+    """Kleinberg HITS (hubs & authorities) over the crawl's host
+    graph: 2 sum-normalized integer rounds, each half-round ONE hash
+    join + ONE keyed sum + a 1-row normalizer fold."""
+    from searchengine_ray.pipelines.graph import (extract_links, hits,
+                                                  host_edges)
+
+    return hits(host_edges(extract_links(_linked_pages_ds(sf_dir))),
+                iters=2)
+
+
+def _q_host_cocitation(sf_dir: str):
+    """Co-citation similarity (Small 1973): hosts ranked similar when
+    the same sources link to both. ONE range sort + vectorized pair
+    expansion + ONE keyed Count."""
+    from searchengine_ray.pipelines.graph import (cocitation,
+                                                  extract_links,
+                                                  host_edges)
+
+    return cocitation(host_edges(extract_links(_linked_pages_ds(sf_dir))),
+                      mode="cocited")
+
+
+def _q_host_coupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963): hosts similar when they
+    link to the same targets — the cocitation operator keyed on the
+    opposite endpoint."""
+    from searchengine_ray.pipelines.graph import (cocitation,
+                                                  extract_links,
+                                                  host_edges)
+
+    return cocitation(host_edges(extract_links(_linked_pages_ds(sf_dir))),
+                      mode="coupled")
+
+
+def _q_dedup_representatives(sf_dir: str):
+    """Keep-BEST near-dup policy: minhash pairs → connected components
+    → each cluster keeps its longest member (codepoints; ties → min
+    doc_id) via ONE keyed Max on a packed int64 sort key."""
+    from searchengine_ray.pipelines.clusters import (
+        cluster_representatives,
+        dup_clusters,
+    )
+    from searchengine_ray.pipelines.dedup import minhash_candidates
+
+    labels = dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
+    return cluster_representatives(labels, _docs_ds(sf_dir))
+
+
 def _q_ivf_ann_topk(sf_dir: str):
     import ray.data
 
@@ -1830,6 +1879,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # covered by tools/check_contract.py, which sweeps all of them.
     return {
         # -- new in round 5 --------------------------------------------------
+        "host_hits": _q_host_hits,
+        "host_cocitation": _q_host_cocitation,
+        "host_coupling": _q_host_coupling,
+        "dedup_representatives": _q_dedup_representatives,
         "search_bm25f": _q_search_bm25f,
         "extract_links": _q_extract_links,
         "host_pagerank": _q_host_pagerank,
@@ -2379,6 +2432,11 @@ def oracle_sql() -> dict[str, str]:
     out["extract_title"] = oracles.sql_extract_title()
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
+    out["host_hits"] = oracles.sql_host_hits(iters=2)
+    out["host_cocitation"] = oracles.sql_cocitation("cocited")
+    out["host_coupling"] = oracles.sql_cocitation("coupled")
+    out["dedup_representatives"] = oracles.sql_cluster_representatives(
+        pclass)
     out["host_pagerank_dangling"] = oracles.sql_host_pagerank(
         iters=3, redistribute=True, drop_mod=4)
     out["anchor_terms"] = oracles.sql_anchor_terms(pclass)

@@ -126,3 +126,68 @@ def dup_clusters(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
         lambda b: pa.table({"doc_id": b["doc_id"], "cluster": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def cluster_representatives(clusters_ds, docs_ds, text_col: str = "text",
+                            num_partitions: int = 16):
+    """(doc_id, cluster) labels × (doc_id, text) docs → Dataset
+    (cluster, rep_doc_id, rep_chars, n_members): the keep-BEST dedup
+    policy — each duplicate cluster keeps its longest member (most
+    codepoints; ties → smallest doc_id), the convention of web-corpus
+    pipelines that prefer the fullest capture of a duplicated page
+    (e.g. RefinedWeb, Penedo et al. 2023 §3.3) over first-seen.
+
+    Shape: ONE hash join (labels → doc lengths) + ONE keyed Max on a
+    packed int64 sort key ``chars · 2³² + (2³² − 1 − doc_id)`` (the
+    span_dedup zero-padded-key trick: a single native aggregate
+    carries both the max length and the min-id tiebreak; requires
+    chars < 2³¹ and 0 ≤ doc_id < 2³² — checked kernels raise loudly
+    beyond). No driver-side state; the result is cluster-sized."""
+    from ray.data.aggregate import Count, Max
+
+    clusters = clusters_ds.materialize()
+    num_partitions = max(2, min(num_partitions,
+                                clusters.count() // 1000 + 2))
+    B = 1 << 32
+
+    def lengths(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table({
+            "ldoc": b["doc_id"].cast(pa.int64()),
+            "chars": pc.utf8_length(t).cast(pa.int64()),
+        })
+
+    joined = clusters.join(
+        docs_ds.map_batches(lengths, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("ldoc",),
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.int64())
+        key = pc.add_checked(
+            pc.multiply_checked(b["chars"].cast(pa.int64()),
+                                pa.scalar(B, pa.int64())),
+            pc.subtract_checked(pa.scalar(B - 1, pa.int64()), ids))
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.table({"cluster": b["cluster"], "key": key})
+
+    agg = (joined.map_batches(pack, batch_format="pyarrow")
+           .groupby("cluster")
+           .aggregate(Max("key", alias_name="key"), Count()))
+
+    def decode(b: pa.Table) -> pa.Table:
+        key = b["key"].cast(pa.int64())
+        hi = pc.divide(key, pa.scalar(B, pa.int64()))
+        rem = pc.subtract(key, pc.multiply(hi, pa.scalar(B, pa.int64())))
+        return pa.table({
+            "cluster": b["cluster"].cast(pa.int64()),
+            "rep_doc_id": pc.subtract(pa.scalar(B - 1, pa.int64()), rem),
+            "rep_chars": hi,
+            "n_members": b["count()"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")

@@ -52,10 +52,14 @@ int64.
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .web import _HOST
+
+_LOG = logging.getLogger(__name__)
 
 _A_OPEN = '<a href="'
 _HREF_BODY = r'^(?P<h>[^"]*)'
@@ -342,3 +346,248 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
     return ranks.map_batches(
         lambda b: pa.table({"host": b["node"], "rank_q": b["rank_q"]}),
         batch_format="pyarrow")
+
+
+def hits(edges_ds, iters: int = 2, scale: int = 10 ** 6,
+         num_partitions: int = 16):
+    """(src_host, dst_host, weight) edges → Dataset
+    (host, auth_q, hub_q): Kleinberg's HITS (JACM 46(5), 1999) in
+    integer arithmetic, sum-normalized.
+
+    Per round (the mutual-reinforcement update):
+
+        auth_raw(v) = Σ_{u→v} hub(u) · w(u,v)
+        auth(v)     = (auth_raw(v) · scale) // Σ_x auth_raw(x)
+        hub_raw(u)  = Σ_{u→v} auth(v) · w(u,v)     [the NEW auths]
+        hub(u)      = (hub_raw(u) · scale) // Σ_x hub_raw(x)
+
+    Sum-normalization replaces the usual L2 norm so every quantity is
+    an int64 (integer sums + one floor division) — order-free,
+    partitioning-independent, value-exact reproducible by an unrolled
+    DuckDB oracle (the pagerank discipline). Each half-round is ONE
+    hash join (scores → edges) + ONE keyed sum; the per-round driver
+    sync is two 1-row scalar folds (the normalizers), same budget as
+    PageRank's dangling-mass fold.
+
+    int64 headroom: after normalization each score ≤ ``scale`` and the
+    scores sum to ≈ ``scale``, so a raw value is ≤ scale · W (W = total
+    edge weight) and the normalization multiply is ≤ scale² · W. All
+    products use *_checked kernels — with the default ``scale = 10⁶``
+    any graph with W < 9.2 × 10⁶ total weight is safe and a larger one
+    raises loudly (lower ``scale`` to trade precision for headroom).
+
+    A zero normalizer (no edges, or all mass annihilated) zeroes that
+    side's scores rather than dividing by zero."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges_ds.materialize()
+    num_partitions = max(2, min(num_partitions,
+                                edges.count() // 1000 + 2))
+
+    nodes = (edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [_col(b, "src_host"), _col(b, "dst_host")])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count())
+        .map_batches(lambda b: pa.table({"node": b["node"]}),
+                     batch_format="pyarrow")
+        .repartition(num_partitions).materialize())
+
+    def _init(col: str):
+        return nodes.map_batches(
+            lambda b, s=scale, c=col: pa.table({
+                "node": b["node"],
+                c: pa.array([s] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    def _half_round(scores, score_col: str, join_on: str, emit: str,
+                    out_col: str):
+        """scores(node, score_col) → normalized (node, out_col): join
+        scores onto the ``join_on`` endpoint of every edge, sum
+        score·w into the ``emit`` endpoint, sum-normalize to scale."""
+        def msg(b: pa.Table, e=emit) -> pa.Table:
+            c = pc.multiply_checked(b["sq"].cast(pa.int64()),
+                                    b["weight"].cast(pa.int64()))
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return pa.table({"node": _col(b, e), "c": c})
+
+        raw = edges.join(
+            scores.map_batches(
+                lambda b, c=score_col: pa.table(
+                    {"j_node": b["node"], "sq": b[c]}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=(join_on,), right_on=("j_node",),
+        ).map_batches(msg, batch_format="pyarrow")
+        zero = nodes.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "c": pa.array([0] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        summed = (raw.union(zero).groupby("node")
+                  .aggregate(Sum("c", alias_name="raw"))
+                  .repartition(num_partitions).materialize())
+        # the half-round's only driver sync: the 1-row normalizer
+        got = summed.aggregate(Sum("raw", alias_name="norm"))
+        norm = int((got or {}).get("norm") or 0)
+        return summed.map_batches(
+            lambda b, s=scale, nz=norm, c=out_col: pa.table({
+                "node": b["node"],
+                c: pc.divide_checked(
+                    pc.multiply_checked(b["raw"].cast(pa.int64()),
+                                        pa.scalar(s, pa.int64())),
+                    pa.scalar(nz, pa.int64()))
+                if nz else pa.array([0] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    auths = _init("auth_q")
+    hubs = _init("hub_q")
+    for _ in range(iters):
+        auths = _half_round(hubs, "hub_q", "src_host", "dst_host",
+                            "auth_q")
+        hubs = _half_round(auths, "auth_q", "dst_host", "src_host",
+                           "hub_q")
+
+    return auths.join(
+        hubs.map_batches(
+            lambda b: pa.table({"h_node": b["node"], "hub_q": b["hub_q"]}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=("h_node",),
+    ).map_batches(
+        lambda b: pa.table({"host": b["node"], "auth_q": b["auth_q"],
+                            "hub_q": b["hub_q"]}),
+        batch_format="pyarrow")
+
+
+def _cocite_pairs_batch(batch: pa.Table, key_col: str, val_col: str,
+                        max_fanout: int = 1000) -> pa.Table:
+    """One range-sorted block of (key, val) rows → upper-triangle val
+    pairs per key, vectorized (the dedup.py sorted-block pairer shape,
+    over string vals). Requires every key's rows to live entirely in
+    this block — guaranteed by a range-partitioned ``Dataset.sort`` on
+    ``key_col`` (identical keys never straddle a boundary). Pairs are
+    ordered ``val_a < val_b`` lexicographically (SQL-oracle parity).
+
+    Keys with more than ``max_fanout`` distinct vals are truncated to
+    their lexicographically-smallest vals — NOT silently: a warning
+    reports the cap count and every pair from a capped key carries
+    ``trunc=1`` (the LSH bucket-cap discipline)."""
+    import numpy as np
+
+    empty = pa.table({
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.string()),
+        "trunc": pa.array([], pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    t = batch.take(pc.sort_indices(
+        batch, sort_keys=[(key_col, "ascending"), (val_col, "ascending")]))
+    keys = t[key_col].combine_chunks()
+    vals = t[val_col].combine_chunks()
+    n = len(keys)
+    if n > 1:
+        key_new = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        val_new = pc.not_equal(vals.slice(1), vals.slice(0, n - 1))
+        fresh = np.concatenate(
+            ([True], pc.or_(key_new, val_new).to_numpy(
+                zero_copy_only=False)))
+    else:
+        fresh = np.array([True])
+    # drop duplicate (key, val) rows so each pair counts one key once
+    keep_idx = np.flatnonzero(fresh)
+    keys_np = keys.take(pa.array(keep_idx)).to_numpy(zero_copy_only=False)
+    vals_kept = vals.take(pa.array(keep_idx))
+    m0 = keys_np.size
+    new_key = np.empty(m0, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = keys_np[1:] != keys_np[:-1]
+    gid = np.cumsum(new_key) - 1
+    counts = np.bincount(gid)
+    gstart0 = np.concatenate(([0], np.cumsum(counts)))
+    over = counts > max_fanout
+    if over.any():
+        _LOG.warning(
+            "cocitation fan-out cap: %d keys over max_fanout=%d, "
+            "%d member rows dropped (kept lexicographically smallest)",
+            int(over.sum()), max_fanout,
+            int((counts[over] - max_fanout).sum()))
+        pos = np.arange(m0) - gstart0[:-1][gid]
+        keep = pos < max_fanout
+        gid = gid[keep]
+        vals_kept = vals_kept.take(pa.array(np.flatnonzero(keep)))
+        counts = np.minimum(counts, max_fanout)
+    m = counts.astype(np.int64)
+    npairs = m * (m - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return empty
+    pg = np.repeat(np.arange(m.size), npairs)
+    offs = np.concatenate(([0], np.cumsum(npairs)))
+    k = np.arange(total, dtype=np.int64) - offs[pg]
+    mm = m[pg]
+    tt = 2 * mm - 1
+    i = ((tt - np.sqrt(tt.astype(np.float64) ** 2 - 8 * k)) // 2).astype(
+        np.int64)
+    j = k - i * (tt - i) // 2 + i + 1
+    gstart = np.concatenate(([0], np.cumsum(m)))
+    return pa.table({
+        "a": vals_kept.take(pa.array(gstart[pg] + i)),
+        "b": vals_kept.take(pa.array(gstart[pg] + j)),
+        "trunc": pa.array(over[pg].astype(np.int64), pa.int64()),
+    })
+
+
+def cocitation(edges_ds, mode: str = "cocited", max_fanout: int = 1000,
+               min_common: int = 1):
+    """(src_host, dst_host, weight) edges → Dataset
+    (host_a, host_b, n_common, truncated): link-graph similarity by
+    shared neighbors (Small, JASIS 24(4) 1973; Kessler 1963).
+
+    - ``mode="cocited"``: n_common = number of distinct hosts linking
+      to BOTH a and b (co-citation — similarity of link TARGETS).
+    - ``mode="coupled"``: n_common = number of distinct hosts that
+      both a and b link TO (bibliographic coupling — similarity of
+      link SOURCES).
+
+    Shape: ONE range sort on the shared-neighbor key co-locates each
+    key's adjacency, a vectorized block pairer expands upper-triangle
+    (host_a < host_b) pairs, ONE keyed Count+Min folds them — pair
+    count is bounded by Σ fanout², so skewed hubs are capped at
+    ``max_fanout`` with a loud warning and a ``truncated`` flag that
+    survives aggregation (true only if EVERY contributing key was
+    capped — the dedup.py distinct_pairs rule, which here degrades the
+    COUNT, so any true flag means n_common is a lower bound)."""
+    if mode not in ("cocited", "coupled"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from ray.data.aggregate import Count, Min
+
+    key, val = (("src_host", "dst_host") if mode == "cocited"
+                else ("dst_host", "src_host"))
+
+    pairs = edges_ds.select_columns([key, val]).sort(key).map_batches(
+        _cocite_pairs_batch,
+        fn_kwargs={"key_col": key, "val_col": val,
+                   "max_fanout": max_fanout},
+        batch_format="pyarrow")
+    agg = pairs.groupby(["a", "b"]).aggregate(
+        Count(), Min("trunc", alias_name="trunc"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "host_a": b["a"],
+            "host_b": b["b"],
+            "n_common": b["count()"].cast(pa.int64()),
+            "truncated": pc.cast(
+                pc.greater(b["trunc"].cast(pa.int64()), 0), pa.bool_()),
+        })
+        if min_common > 1:
+            t = t.filter(pc.greater_equal(
+                t["n_common"], pa.scalar(min_common, pa.int64())))
+        return t
+
+    return agg.map_batches(fin, batch_format="pyarrow")
