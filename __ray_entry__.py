@@ -1797,6 +1797,23 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
 
 
+PPR_SEEDS = ["src3.example.test", "src7.example.test"]
+
+
+def _q_host_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart at two seed
+    hosts — the TrustRank shape): authority flows OUT of the seeds
+    and decays with link distance. Same integer round shape as
+    host_pagerank."""
+    from searchengine_ray.pipelines.graph import (extract_links,
+                                                  host_edges,
+                                                  personalized_pagerank)
+
+    return personalized_pagerank(
+        host_edges(extract_links(_linked_pages_ds(sf_dir))),
+        seeds=PPR_SEEDS, iters=3)
+
+
 def _q_host_hits(sf_dir: str):
     """Kleinberg HITS (hubs & authorities) over the crawl's host
     graph: 2 sum-normalized integer rounds, each half-round ONE hash
@@ -1880,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 5 --------------------------------------------------
         "host_hits": _q_host_hits,
+        "host_ppr": _q_host_ppr,
         "host_cocitation": _q_host_cocitation,
         "host_coupling": _q_host_coupling,
         "dedup_representatives": _q_dedup_representatives,
@@ -2433,6 +2451,8 @@ def oracle_sql() -> dict[str, str]:
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
     out["host_hits"] = oracles.sql_host_hits(iters=2)
+    out["host_ppr"] = oracles.sql_personalized_pagerank(
+        PPR_SEEDS, iters=3)
     out["host_cocitation"] = oracles.sql_cocitation("cocited")
     out["host_coupling"] = oracles.sql_cocitation("coupled")
     out["dedup_representatives"] = oracles.sql_cluster_representatives(

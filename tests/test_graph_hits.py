@@ -154,3 +154,50 @@ def test_cluster_representatives_keep_longest_tie_min_id():
     # cluster 0: docs 1 and 2 both have 4 chars -> min id 1 wins;
     # rep_chars counts CODEPOINTS (3 for 'béé', not utf-8 bytes)
     assert got == [(0, 1, 4, 3), (3, 3, 3, 1), (4, 4, 2, 1)]
+
+
+def _naive_ppr(seeds, iters, d=85, scale=10 ** 9):
+    nodes = sorted({e[0] for e in EDGES} | {e[1] for e in EDGES})
+    od = {}
+    for s, _, w in EDGES:
+        od[s] = od.get(s, 0) + w
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    base = ((100 - d) * scale) // 100
+    for _ in range(iters):
+        nxt = {n: (base if n in seeds else 0) for n in nodes}
+        for s, t, w in EDGES:
+            nxt[t] += (d * r[s] * w) // (100 * od[s])
+        r = nxt
+    return r
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_matches_naive():
+    from searchengine_ray.pipelines.graph import personalized_pagerank
+
+    got = {r["host"]: r["rank_q"]
+           for r in personalized_pagerank(
+               _ds(_edges_tbl()), seeds=["a", "e"], iters=3).take_all()}
+    assert got == _naive_ppr({"a", "e"}, 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_mass_decays_from_seed():
+    from searchengine_ray.pipelines.graph import personalized_pagerank
+
+    got = {r["host"]: r["rank_q"]
+           for r in personalized_pagerank(
+               _ds(_edges_tbl()), seeds=["a"], iters=2).take_all()}
+    # a is the seed; its direct targets (b, c) hold walk mass; e is
+    # two hops out through d and holds strictly less than b
+    assert got["a"] > got["b"] > got["e"] >= 0
+    assert set(got) == set("abcde")
+
+
+def test_personalized_pagerank_guards():
+    from searchengine_ray.pipelines.graph import personalized_pagerank
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(None, seeds=[])
+    with pytest.raises(ValueError):
+        personalized_pagerank(None, seeds=["a"], iters=-1)
