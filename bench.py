@@ -291,7 +291,11 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # scaling needs the compute phases to dominate fixed pipeline
         # overheads — use a larger deterministic corpus unless overridden
-        env.setdefault("GRAFT_BENCH_REPLICAS", "400")
+        # 8M docs: large enough that the fixed per-run costs (boundary
+        # pre-sample, wave startup) are noise at BOTH levels — at 2M
+        # docs they dilute the fast leg and under-report efficiency by
+        # ~0.1-0.2 (BASELINE.md round-5 scaling recalibration)
+        env.setdefault("GRAFT_BENCH_REPLICAS", "1600")
         env.setdefault("GRAFT_BENCH_PHASES", "build")  # scaling measures
         # the distributed build; query latency is single-stream serving
         out = subprocess.run(

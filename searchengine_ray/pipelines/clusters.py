@@ -146,8 +146,16 @@ def cluster_representatives(clusters_ds, docs_ds, text_col: str = "text",
     from ray.data.aggregate import Count, Max
 
     clusters = clusters_ds.materialize()
-    num_partitions = max(2, min(num_partitions,
-                                clusters.count() // 1000 + 2))
+    n_labels = clusters.count()
+    if n_labels == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "cluster": pa.array([], pa.int64()),
+            "rep_doc_id": pa.array([], pa.int64()),
+            "rep_chars": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64())}))
+    num_partitions = max(2, min(num_partitions, n_labels // 1000 + 2))
     B = 1 << 32
 
     def lengths(b: pa.Table) -> pa.Table:

@@ -251,11 +251,19 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
     from ray.data.aggregate import Count, Sum
 
     edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        # an empty graph has no nodes — pin the typed-empty result
+        # (the join path cannot key schemaless empty blocks)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "rank_q": pa.array([], pa.int64())}))
     # empty hash partitions produce schemaless blocks that break the
     # pyarrow join — size the partition count to the data (the
     # clusters.py guard)
-    num_partitions = max(2, min(num_partitions,
-                                edges.count() // 1000 + 2))
+    num_partitions = max(2, min(num_partitions, n_edges // 1000 + 2))
 
     outdeg = (edges.groupby("src_host")
               .aggregate(Sum("weight", alias_name="od"))
@@ -379,8 +387,14 @@ def personalized_pagerank(edges_ds, seeds: list[str], iters: int = 3,
 
     seed_arr = pa.array(sorted(set(seeds)), pa.string())
     edges = edges_ds.materialize()
-    num_partitions = max(2, min(num_partitions,
-                                edges.count() // 1000 + 2))
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "rank_q": pa.array([], pa.int64())}))
+    num_partitions = max(2, min(num_partitions, n_edges // 1000 + 2))
 
     outdeg = (edges.groupby("src_host")
               .aggregate(Sum("weight", alias_name="od"))
@@ -483,8 +497,15 @@ def hits(edges_ds, iters: int = 2, scale: int = 10 ** 6,
     from ray.data.aggregate import Count, Sum
 
     edges = edges_ds.materialize()
-    num_partitions = max(2, min(num_partitions,
-                                edges.count() // 1000 + 2))
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "auth_q": pa.array([], pa.int64()),
+            "hub_q": pa.array([], pa.int64())}))
+    num_partitions = max(2, min(num_partitions, n_edges // 1000 + 2))
 
     nodes = (edges.map_batches(
         lambda b: pa.table({"node": pa.concat_arrays(

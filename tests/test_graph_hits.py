@@ -201,3 +201,41 @@ def test_personalized_pagerank_guards():
         personalized_pagerank(None, seeds=[])
     with pytest.raises(ValueError):
         personalized_pagerank(None, seeds=["a"], iters=-1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_graph_yields_typed_empty():
+    """An edgeless graph must produce a schema'd empty result from
+    every graph operator (the LSH typed-empty rule) — the join path
+    cannot key schemaless empty blocks."""
+    import ray.data
+
+    from searchengine_ray.pipelines.graph import (pagerank,
+                                                  personalized_pagerank)
+
+    empty = ray.data.from_arrow(pa.table({
+        "src_host": pa.array([], pa.string()),
+        "dst_host": pa.array([], pa.string()),
+        "weight": pa.array([], pa.int64())}))
+    assert pagerank(empty, iters=2).take_all() == []
+    assert personalized_pagerank(empty, seeds=["x"]).take_all() == []
+    assert hits(empty, iters=2).take_all() == []
+    assert cocitation(empty).take_all() == []
+    assert sorted(hits(empty, iters=0).schema().names) == [
+        "auth_q", "host", "hub_q"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_representatives_empty_labels():
+    import ray.data
+
+    ec = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64())}))
+    ed = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = cluster_representatives(ec, ed)
+    assert out.take_all() == []
+    assert sorted(out.schema().names) == [
+        "cluster", "n_members", "rep_chars", "rep_doc_id"]
