@@ -1797,6 +1797,16 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. ACL'22): stride-1
+    8-gram dedup — maximal token ranges covered by any gram occurring
+    ≥ 2 times in the corpus, at any alignment. Two skinny range
+    sorts; no text ever shuffles."""
+    from searchengine_ray.pipelines.substr import duplicate_spans
+
+    return duplicate_spans(_docs_ds(sf_dir), min_tokens=8)
+
+
 PPR_SEEDS = ["src3.example.test", "src7.example.test"]
 
 
@@ -1896,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # covered by tools/check_contract.py, which sweeps all of them.
     return {
         # -- new in round 5 --------------------------------------------------
+        "duplicate_spans": _q_duplicate_spans,
         "host_hits": _q_host_hits,
         "host_ppr": _q_host_ppr,
         "host_cocitation": _q_host_cocitation,
@@ -2450,6 +2461,8 @@ def oracle_sql() -> dict[str, str]:
     out["extract_title"] = oracles.sql_extract_title()
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
+    out["duplicate_spans"] = oracles.sql_duplicate_spans(
+        pclass, min_tokens=8)
     out["host_hits"] = oracles.sql_host_hits(iters=2)
     out["host_ppr"] = oracles.sql_personalized_pagerank(
         PPR_SEEDS, iters=3)
