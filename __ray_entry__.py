@@ -1797,6 +1797,15 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
 
 
+def _q_strip_dup_spans(sf_dir: str):
+    """Substring-dedup APPLY step (Lee et al. ACL'22): excise every
+    duplicated 8-gram range except the corpus-first (canonical)
+    occurrence; emits each doc's surviving normalized token stream."""
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs_ds(sf_dir), min_tokens=8)
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact duplicated-substring spans (Lee et al. ACL'22): stride-1
     8-gram dedup — maximal token ranges covered by any gram occurring
@@ -1907,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 5 --------------------------------------------------
         "duplicate_spans": _q_duplicate_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
         "host_hits": _q_host_hits,
         "host_ppr": _q_host_ppr,
         "host_cocitation": _q_host_cocitation,
@@ -2462,6 +2472,8 @@ def oracle_sql() -> dict[str, str]:
     out["extract_links"] = oracles.sql_extract_links()
     out["host_pagerank"] = oracles.sql_host_pagerank(iters=3)
     out["duplicate_spans"] = oracles.sql_duplicate_spans(
+        pclass, min_tokens=8)
+    out["strip_dup_spans"] = oracles.sql_strip_duplicate_spans(
         pclass, min_tokens=8)
     out["host_hits"] = oracles.sql_host_hits(iters=2)
     out["host_ppr"] = oracles.sql_personalized_pagerank(

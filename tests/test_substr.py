@@ -87,3 +87,82 @@ def test_duplicate_spans_clean_corpus_is_empty():
 def test_duplicate_spans_guard():
     with pytest.raises(ValueError):
         duplicate_spans(None, min_tokens=1)
+
+
+def _naive_strip(texts, L):
+    occ = defaultdict(list)
+    tok = {d: [w for w in
+               re.sub(r"[^\w\s]", " ", t.lower()).split() if len(w) >= 2]
+           for d, t in enumerate(texts)}
+    for d, ts in tok.items():
+        for p in range(len(ts) - L + 1):
+            occ[tuple(ts[p:p + L])].append((d, p))
+    out = []
+    for d, ts in tok.items():
+        nc = [0] * len(ts)
+        cn = [0] * len(ts)
+        for g, pps in occ.items():
+            if len(pps) < 2:
+                continue
+            canon = min(pps)
+            for (dd, pp) in pps:
+                if dd != d:
+                    continue
+                tgt = cn if (dd, pp) == canon else nc
+                for t in range(pp, pp + L):
+                    tgt[t] += 1
+        kept = [w for i, w in enumerate(ts)
+                if not (nc[i] > 0 and cn[i] == 0)]
+        out.append((d, " ".join(kept), len(ts) - len(kept)))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("L", [3, 8])
+def test_strip_duplicate_spans_matches_naive(L):
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    got = sorted((r["doc_id"], r["text"], r["n_tokens_removed"])
+                 for r in strip_duplicate_spans(
+                     _ds(TEXTS), min_tokens=L).take_all())
+    assert got == _naive_strip(TEXTS, L)
+    assert any(n for _, _, n in got)  # something was actually removed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strip_keeps_exactly_one_copy():
+    """Canonical protection: of two identical docs, the first keeps
+    its text and the second is fully excised."""
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    texts = ["aa bb cc dd ee ff gg hh", "aa bb cc dd ee ff gg hh"]
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in strip_duplicate_spans(
+               _ds(texts, 2), min_tokens=8).take_all()}
+    assert got[0] == ("aa bb cc dd ee ff gg hh", 0)
+    assert got[1] == ("", 8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strip_clean_corpus_untouched():
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    texts = ["alpha beta gamma delta", "wholly disjoint token stream"]
+    got = sorted((r["doc_id"], r["text"], r["n_tokens_removed"])
+                 for r in strip_duplicate_spans(
+                     _ds(texts), min_tokens=3).take_all())
+    assert got == [(0, "alpha beta gamma delta", 0),
+                   (1, "wholly disjoint token stream", 0)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strip_partition_invariant():
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    a = sorted((r["doc_id"], r["text"], r["n_tokens_removed"])
+               for r in strip_duplicate_spans(
+                   _ds(TEXTS, 1), min_tokens=4).take_all())
+    b = sorted((r["doc_id"], r["text"], r["n_tokens_removed"])
+               for r in strip_duplicate_spans(
+                   _ds(TEXTS, 6), min_tokens=4).take_all())
+    assert a == b
