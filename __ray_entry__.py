@@ -38,6 +38,12 @@ SEARCH_QUERIES = [
     "slow scan filter group data",
     "big small table hash part",
 ]
+WILDCARD_QUERIES = [
+    "fas* merge",            # prefix + plain word
+    "quer* wind*",           # two wildcards (stemmed vocab: queri…)
+    "cust* order line",
+    "slo* scan filter",
+]
 K1, B = 1.2, 0.75
 TOPK = 10
 FUZZY_QUERY_TERMS = ["qurey", "scann", "jion", "windw"]  # typos of vocab terms
@@ -1797,6 +1803,29 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_candidates(_docs_ds(sf_dir)))
 
 
+def _q_search_wildcard(sf_dir: str):
+    """Trailing-* prefix wildcard BM25 (Lucene scoring_boolean top-
+    terms rewrite): each wildcard expands over the stemmed index
+    vocabulary via the lexicographic shard range, capped df-ranked;
+    plain words take the normal tokenizer path."""
+    from searchengine_ray.query.engine import Searcher
+
+    s = Searcher(_index_for(sf_dir, _full_cfg()))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in enumerate(WILDCARD_QUERIES):
+        t = s.search_wildcard(q, TOPK, with_urls=False)
+        qids.extend([qid] * t.num_rows)
+        ranks.extend(t["rank"].to_pylist())
+        docs.extend(t["doc_id"].to_pylist())
+        scores.extend(_q4(t["score"].to_numpy(zero_copy_only=False)).tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score_q4": pa.array(scores, pa.int64()),
+    })
+
+
 def _q_strip_dup_spans(sf_dir: str):
     """Substring-dedup APPLY step (Lee et al. ACL'22): excise every
     duplicated 8-gram range except the corpus-first (canonical)
@@ -1917,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 --------------------------------------------------
         "duplicate_spans": _q_duplicate_spans,
         "strip_dup_spans": _q_strip_dup_spans,
+        "search_wildcard": _q_search_wildcard,
         "host_hits": _q_host_hits,
         "host_ppr": _q_host_ppr,
         "host_cocitation": _q_host_cocitation,
@@ -2604,6 +2634,9 @@ def oracle_sql() -> dict[str, str]:
     out["dup_clusters"] = oracles.sql_dup_clusters(pclass)
     out["search_bm25"] = oracles.sql_search_bm25(
         pclass, SEARCH_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
+    )
+    out["search_wildcard"] = oracles.sql_search_wildcard(
+        pclass, WILDCARD_QUERIES, cfg, DEFAULT_STOP_WORDS, TOPK
     )
     # a merged index must answer bit-identically to a full build, so it
     # shares the full-corpus BM25 oracle verbatim; a delete is the same

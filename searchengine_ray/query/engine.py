@@ -10,6 +10,8 @@ and caches once; reference ST5).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -21,6 +23,8 @@ from searchengine_ray.config import IndexConfig, RankerType
 from searchengine_ray.query.postings import ShardReader
 from searchengine_ray.query.scorers import make_scorer, top_k
 from searchengine_ray.state.alias import resolve_alias
+
+_LOG = logging.getLogger(__name__)
 
 
 def _validate_override(built: IndexConfig, cfg: IndexConfig) -> None:
@@ -204,6 +208,81 @@ class Searcher:
             "term": pa.array(order, pa.string()),
             "df": pa.array([best[t] for t in order], pa.int64()),
         })
+
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int = 128) -> list[str]:
+        """All index terms starting with ``prefix``, capped at
+        ``max_expansions`` by (df desc, term asc) — Lucene's top-terms
+        wildcard rewrite. The lexicographic shard layout confines the
+        scan to the prefix's contiguous shard range, (term, df)
+        columns only. A truncated expansion logs the drop count
+        loudly (the no-silent-caps rule)."""
+        prefix = prefix.lower()
+        if not prefix:
+            raise ValueError("wildcard needs a non-empty prefix")
+        lo = self.reader.shard_of(prefix)
+        hi = self.reader.shard_of(prefix + chr(0x10FFFF))
+        best: dict[str, int] = {}
+        for s in range(lo, hi + 1):
+            for f in self.reader.files_of_shard.get(s, []):
+                t = pq.read_table(f, columns=["term", "df"])
+                t = t.filter(pc.starts_with(t["term"], prefix))
+                for term, df in zip(t["term"].to_pylist(),
+                                    t["df"].to_pylist()):
+                    best[term] = int(df)
+        order = sorted(best, key=lambda t: (-best[t], t))
+        if len(order) > max_expansions:
+            _LOG.warning(
+                "wildcard '%s*' expands to %d terms; keeping the "
+                "%d highest-df, dropping %d", prefix, len(order),
+                max_expansions, len(order) - max_expansions)
+            order = order[:max_expansions]
+        return order
+
+    def search_wildcard(self, query: str, n: int | None = None,
+                        max_expansions: int = 128,
+                        with_urls: bool = True) -> pa.Table:
+        """BM25 search with trailing-* prefix wildcards: a query word
+        ending in ``*`` expands to the index terms sharing its prefix
+        (capped, df-ranked — Lucene's scoring_boolean rewrite), each
+        scored with its own idf at query-tf 1; other words go through
+        the normal tokenizer (stem + stop). Wildcard prefixes match
+        the STEMMED index vocabulary directly (the standard engine
+        caveat: wildcards skip analysis)."""
+        n = n or self.cfg.default_top_k
+        plain: list[str] = []
+        terms: list[str] = []
+        for w in query.split():
+            if w.endswith("*") and len(w) > 1:
+                for t in self.expand_prefix(
+                        w[:-1], max_expansions=max_expansions):
+                    if t not in terms:
+                        terms.append(t)
+            else:
+                plain.append(w)
+        if plain:
+            for t in self.tokenizer.tokenize(" ".join(plain)):
+                if t not in terms:
+                    terms.append(t)
+        if not terms:
+            cols = {
+                "rank": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+            if with_urls:
+                cols["url"] = pa.array([], pa.string())
+            return pa.table(cols)
+        doc_ids, scores = self.search_tokens(terms, n)
+        cols = {
+            "rank": pa.array(np.arange(1, doc_ids.size + 1,
+                                       dtype=np.int32)),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        if with_urls:
+            cols["url"] = pa.array(self.urls_of(doc_ids), pa.string())
+        return pa.table(cols)
 
     def search_proximity(self, query: str, n: int | None = None,
                          slop: int = 2) -> pa.Table:
