@@ -239,3 +239,48 @@ def test_cluster_representatives_empty_labels():
     assert out.take_all() == []
     assert sorted(out.schema().names) == [
         "cluster", "n_members", "rep_chars", "rep_doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_ops_random_graphs():
+    """Randomized cross-check of hits / cocitation / PPR against the
+    naive dict recomputations on dense little multigraph-free graphs
+    (fixed seeds — deterministic)."""
+    import random
+
+    from searchengine_ray.pipelines.graph import personalized_pagerank
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        hosts = [f"h{i}" for i in range(6)]
+        edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                        for _ in range(14)})
+        edges = [(s, d, rng.randint(1, 3)) for s, d in edges if s != d]
+        if not edges:
+            continue
+        tbl = pa.table({
+            "src_host": [e[0] for e in edges],
+            "dst_host": [e[1] for e in edges],
+            "weight": pa.array([e[2] for e in edges], pa.int64()),
+        })
+        global EDGES
+        saved = EDGES
+        try:
+            EDGES = edges
+            got = {r["host"]: (r["auth_q"], r["hub_q"])
+                   for r in hits(_ds(tbl), iters=2).take_all()}
+            assert got == _naive_hits(2), seed
+            for mode in ("cocited", "coupled"):
+                gotp = {(r["host_a"], r["host_b"], r["n_common"],
+                         r["truncated"])
+                        for r in cocitation(_ds(tbl),
+                                            mode=mode).take_all()}
+                assert gotp == _naive_pairs(mode), (seed, mode)
+            seeds_set = {edges[0][0]}
+            gotr = {r["host"]: r["rank_q"]
+                    for r in personalized_pagerank(
+                        _ds(tbl), seeds=sorted(seeds_set),
+                        iters=2).take_all()}
+            assert gotr == _naive_ppr(seeds_set, 2), seed
+        finally:
+            EDGES = saved

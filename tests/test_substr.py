@@ -166,3 +166,30 @@ def test_strip_partition_invariant():
                for r in strip_duplicate_spans(
                    _ds(TEXTS, 6), min_tokens=4).take_all())
     assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_and_strip_random_corpora():
+    """Randomized cross-check vs the naive tuple-key implementation:
+    tiny alphabet forces heavy repetition, unaligned overlaps and
+    within-doc duplicates; fixed seeds keep it deterministic."""
+    import random
+
+    from searchengine_ray.pipelines.substr import strip_duplicate_spans
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        texts = [" ".join(rng.choices(["aa", "bb", "cc", "dd"],
+                                      k=rng.randint(0, 18)))
+                 for _ in range(12)]
+        L = rng.choice([2, 3])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"],
+             r["n_dup_starts"])
+            for r in duplicate_spans(_ds(texts, 4),
+                                     min_tokens=L).take_all())
+        assert got == _naive(texts, L), (seed, L)
+        got2 = sorted((r["doc_id"], r["text"], r["n_tokens_removed"])
+                      for r in strip_duplicate_spans(
+                          _ds(texts, 4), min_tokens=L).take_all())
+        assert got2 == _naive_strip(texts, L), (seed, L)
