@@ -1862,6 +1862,18 @@ def _q_host_ppr(sf_dir: str):
         seeds=PPR_SEEDS, iters=3)
 
 
+def _q_host_components(sf_dir: str):
+    """Connected components of the undirected host graph (site-cluster
+    discovery): FNV host ids → the clusters.py min-label + pointer-
+    jumping loop → hosts joined back."""
+    from searchengine_ray.pipelines.graph import (extract_links,
+                                                  host_components,
+                                                  host_edges)
+
+    return host_components(
+        host_edges(extract_links(_linked_pages_ds(sf_dir))))
+
+
 def _q_host_hits(sf_dir: str):
     """Kleinberg HITS (hubs & authorities) over the crawl's host
     graph: 2 sum-normalized integer rounds, each half-round ONE hash
@@ -1948,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "search_wildcard": _q_search_wildcard,
         "host_hits": _q_host_hits,
+        "host_components": _q_host_components,
         "host_ppr": _q_host_ppr,
         "host_cocitation": _q_host_cocitation,
         "host_coupling": _q_host_coupling,
@@ -2506,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
     out["strip_dup_spans"] = oracles.sql_strip_duplicate_spans(
         pclass, min_tokens=8)
     out["host_hits"] = oracles.sql_host_hits(iters=2)
+    out["host_components"] = oracles.sql_host_components()
     out["host_ppr"] = oracles.sql_personalized_pagerank(
         PPR_SEEDS, iters=3)
     out["host_cocitation"] = oracles.sql_cocitation("cocited")

@@ -712,3 +712,63 @@ def cocitation(edges_ds, mode: str = "cocited", max_fanout: int = 1000,
         return t
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def host_components(edges_ds, num_partitions: int = 16):
+    """(src_host, dst_host, weight) edges → Dataset
+    (host, component): connected components of the UNDIRECTED host
+    graph — site-cluster discovery (mirror networks, link farms,
+    multi-host properties). Hosts are keyed by their FNV-1a hash (the
+    corpus-wide integer id discipline) so the label propagation runs
+    on int64; ``component`` = the component's minimum host-hash —
+    deterministic and partitioning-independent, reproducible in SQL
+    via the same fnv_expr. ONE reuse of clusters.dup_clusters
+    (min-label + pointer jumping, O(log diameter) rounds) + one hash
+    join back to host strings."""
+    from .dedup import _hash_tokens
+    from .clusters import dup_clusters
+
+    edges = edges_ds.materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "component": pa.array([], pa.int64())}))
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = _col(b, "src_host")
+        d = _col(b, "dst_host")
+        # int64 view of the uint64 FNV (the vectorize.py convention)
+        ha = _hash_tokens(s).view(np.int64)
+        hb = _hash_tokens(d).view(np.int64)
+        return pa.table({"doc_a": pa.array(ha, pa.int64()),
+                         "doc_b": pa.array(hb, pa.int64())})
+
+    labels = dup_clusters(edges.map_batches(to_pairs,
+                                            batch_format="pyarrow"),
+                          num_partitions=num_partitions)
+
+    def names(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nodes = pa.concat_arrays(
+            [_col(b, "src_host"), _col(b, "dst_host")])
+        h = _hash_tokens(nodes).view(np.int64)
+        return pa.table({"hid": pa.array(h, pa.int64()),
+                         "host": nodes})
+
+    from ray.data.aggregate import Min
+
+    mapping = (edges.map_batches(names, batch_format="pyarrow")
+               .groupby("hid").aggregate(Min("host", alias_name="host"))
+               .repartition(num_partitions))
+    return labels.join(
+        mapping, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("hid",),
+    ).map_batches(
+        lambda b: pa.table({"host": b["host"],
+                            "component": b["cluster"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -284,3 +284,40 @@ def test_graph_ops_random_graphs():
             assert gotr == _naive_ppr(seeds_set, 2), seed
         finally:
             EDGES = saved
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_disjoint_clusters():
+    import numpy as np
+
+    from searchengine_ray.pipelines.dedup import _hash_tokens
+    from searchengine_ray.pipelines.graph import host_components
+
+    # two disjoint clusters {a,b,c} (a->b, b->c) and {x,y} (x->y, y->x)
+    tbl = pa.table({
+        "src_host": ["a.t", "b.t", "x.t", "y.t"],
+        "dst_host": ["b.t", "c.t", "y.t", "x.t"],
+        "weight": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    got = {r["host"]: r["component"]
+           for r in host_components(_ds(tbl)).take_all()}
+    h = {s: int(_hash_tokens(pa.array([s]))[0].view(np.int64))
+         for s in ("a.t", "b.t", "c.t", "x.t", "y.t")}
+    c1 = min(h["a.t"], h["b.t"], h["c.t"])
+    c2 = min(h["x.t"], h["y.t"])
+    assert got == {"a.t": c1, "b.t": c1, "c.t": c1,
+                   "x.t": c2, "y.t": c2}
+    assert c1 != c2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_empty_graph():
+    import ray.data
+
+    from searchengine_ray.pipelines.graph import host_components
+
+    empty = ray.data.from_arrow(pa.table({
+        "src_host": pa.array([], pa.string()),
+        "dst_host": pa.array([], pa.string()),
+        "weight": pa.array([], pa.int64())}))
+    assert host_components(empty).take_all() == []
