@@ -139,6 +139,9 @@ def cmd_search(args) -> int:
         if args.prf:
             return s.search_prf(q, args.n, fb_docs=args.prf_docs,
                                 fb_terms=args.prf_terms)
+        if args.wildcard:
+            return s.search_wildcard(
+                q, args.n, max_expansions=args.max_expansions)
         if args.proximity is not None:
             res = s.search_proximity(q, args.n, slop=args.proximity)
             ids = res["doc_id"].to_numpy(zero_copy_only=False)
@@ -599,6 +602,55 @@ def cmd_index_stats(args) -> int:
     return 0
 
 
+
+def cmd_graph(args) -> int:
+    """Link-graph analytics over a pages parquet dir (url, html):
+    host edges -> the chosen operator. --out writes partitioned
+    parquet (resumable); otherwise the top rows print."""
+    import ray.data
+
+    from searchengine_ray.pipelines.graph import (cocitation,
+                                                  extract_links,
+                                                  hits,
+                                                  host_components,
+                                                  host_edges,
+                                                  pagerank,
+                                                  personalized_pagerank)
+
+    ds = ray.data.read_parquet(args.input, columns=["url", "html"])
+    edges = host_edges(extract_links(ds))
+    if args.op == "pagerank":
+        out = pagerank(edges, iters=args.iters,
+                       redistribute_dangling=args.redistribute_dangling)
+        key = "rank_q"
+    elif args.op == "ppr":
+        if not args.seeds:
+            raise SystemExit("ppr needs --seeds HOST [HOST ...]")
+        out = personalized_pagerank(edges, seeds=args.seeds,
+                                    iters=args.iters)
+        key = "rank_q"
+    elif args.op == "hits":
+        out = hits(edges, iters=args.iters)
+        key = "auth_q"
+    elif args.op == "components":
+        out = host_components(edges)
+        key = None
+    else:  # cocited / coupled
+        out = cocitation(edges, mode=args.op)
+        key = "n_common"
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"op": args.op, "rows": out.count(),
+                          "out": args.out}))
+        return 0
+    rows = out.take_all()
+    if key:
+        rows.sort(key=lambda r: (-r[key], str(sorted(r.items()))))
+    for r in rows[: args.n]:
+        print(json.dumps(r))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="searchengine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -625,6 +677,11 @@ def main(argv=None) -> int:
                     "re-rank")
     ps.add_argument("--prf-docs", type=int, default=3)
     ps.add_argument("--prf-terms", type=int, default=5)
+    ps.add_argument("--wildcard", action="store_true",
+                    help="expand trailing-* query words over the "
+                         "stemmed index vocabulary (prefix wildcard, "
+                         "df-ranked capped expansion)")
+    ps.add_argument("--max-expansions", type=int, default=128)
     ps.add_argument("--proximity", type=int, default=None, metavar="SLOP",
                     help="ordered proximity query: terms in order "
                          "within a window padded by SLOP (0 = exact "
@@ -762,6 +819,19 @@ def main(argv=None) -> int:
                               "it")
     pal.add_argument("--alias", required=True)
     pal.add_argument("--search-index", required=True)
+    pg = sub.add_parser("graph",
+                        help="link-graph analytics over a pages dir")
+    pg.add_argument("op", choices=["pagerank", "ppr", "hits",
+                                   "components", "cocited", "coupled"])
+    pg.add_argument("--input", required=True,
+                    help="pages parquet file/dir with url + html")
+    pg.add_argument("--iters", type=int, default=3)
+    pg.add_argument("--redistribute-dangling", action="store_true")
+    pg.add_argument("--seeds", nargs="+", default=None)
+    pg.add_argument("--out", default=None,
+                    help="write partitioned parquet here instead of "
+                         "printing")
+    pg.add_argument("--n", type=int, default=20)
     pdl = sub.add_parser("delete-docs",
                          help="remove documents from an index into a "
                               "new index (exact: answers match a fresh "
@@ -842,6 +912,8 @@ def main(argv=None) -> int:
                            "shards": len(m["shards"]),
                            "metrics": m["metrics"]}))
         return 0
+    if args.cmd == "graph":
+        return cmd_graph(args)
     if args.cmd == "set-alias":
         from searchengine_ray.state.alias import set_alias
 

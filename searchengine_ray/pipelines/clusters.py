@@ -58,7 +58,37 @@ def dup_clusters(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
             lambda b: pa.table({"doc_id": b["src"], "label": b["src"]}),
             batch_format="pyarrow",
         )
+        # repartition merges away the groupby's empty SCHEMALESS
+        # blocks, which the first propagation join cannot key (seen
+        # on tiny graphs where most hash partitions are empty)
+        .repartition(num_partitions)
     ).materialize()
+
+    # convergence witness: every groupby row carries BOTH the Min of
+    # all candidates (the new label) and, via Max over an "own" column
+    # where only the node's self row is non-sentinel, its label at the
+    # stage's start — so "did anything change" is a bounded 0/1-count
+    # sum, never a sum of the labels themselves (label VALUES may sit
+    # anywhere in int64, e.g. host_components' FNV ids: summing them
+    # overflows int64 and drops Ray into a pickled-object fallback)
+    _SENT = -(2 ** 63)
+
+    def _changed(agg) -> tuple:
+        """(labels', n_changed): decode one Min/Max groupby output."""
+        out = agg.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "label": b["new_label"],
+                "chg": pc.cast(pc.not_equal(b["new_label"], b["old_label"]),
+                               pa.int64()),
+            }),
+            batch_format="pyarrow",
+            # repartition merges away the groupby's empty SCHEMALESS
+            # blocks, which the next hash join cannot key
+        ).repartition(num_partitions).materialize()
+        return out, int(out.sum("chg") or 0)
+
+    from ray.data.aggregate import Max
 
     for _ in range(max_rounds):
         # labels travel across edges: dst receives src's current label
@@ -66,22 +96,21 @@ def dup_clusters(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
             labels, join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("doc_id",),
         ).map_batches(
-            lambda b: pa.table({"doc_id": b["dst"], "cand": b["label"]}),
+            lambda b: pa.table({"doc_id": b["dst"], "cand": b["label"],
+                                "own": pa.array([_SENT] * b.num_rows,
+                                                pa.int64())}),
             batch_format="pyarrow",
         )
-        best = (
+        best, chg1 = _changed(
             msgs.union(labels.map_batches(
-                lambda b: pa.table({"doc_id": b["doc_id"], "cand": b["label"]}),
+                lambda b: pa.table({"doc_id": b["doc_id"],
+                                    "cand": b["label"],
+                                    "own": b["label"]}),
                 batch_format="pyarrow",
             ))
             .groupby("doc_id")
-            .aggregate(Min("cand", alias_name="new_label"))
-        ).map_batches(
-            lambda b: pa.table({"doc_id": b["doc_id"], "label": b["new_label"]}),
-            batch_format="pyarrow",
-            # repartition merges away the groupby's empty SCHEMALESS
-            # blocks, which the hash join cannot key
-        ).repartition(num_partitions).materialize()
+            .aggregate(Min("cand", alias_name="new_label"),
+                       Max("own", alias_name="old_label")))
         # pointer jumping: label(doc) ← label(label(doc)) — labels are
         # themselves doc ids, so one more keyed join halves the
         # remaining path length every round (O(log diameter) total)
@@ -94,28 +123,22 @@ def dup_clusters(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
             on=("label",), right_on=("rdoc",),
         ).map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"],
-                                "cand": b["rlabel"]}),
+                                "cand": b["rlabel"],
+                                "own": pa.array([_SENT] * b.num_rows,
+                                                pa.int64())}),
             batch_format="pyarrow",
         )
-        best = (
+        labels, chg2 = _changed(
             jump.union(best.map_batches(
                 lambda b: pa.table({"doc_id": b["doc_id"],
-                                    "cand": b["label"]}),
+                                    "cand": b["label"],
+                                    "own": b["label"]}),
                 batch_format="pyarrow",
             ))
             .groupby("doc_id")
-            .aggregate(Min("cand", alias_name="new_label"))
-        ).materialize()
-        # convergence witness: labels only ever DECREASE under min-
-        # propagation, so the global label sum strictly drops iff any
-        # label changed (no join needed — empty-partition-safe)
-        old_sum = labels.sum("label")
-        new_sum = best.sum("new_label")
-        labels = best.map_batches(
-            lambda b: pa.table({"doc_id": b["doc_id"], "label": b["new_label"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        if old_sum == new_sum:
+            .aggregate(Min("cand", alias_name="new_label"),
+                       Max("own", alias_name="old_label")))
+        if chg1 == 0 and chg2 == 0:
             break
     else:
         raise RuntimeError(

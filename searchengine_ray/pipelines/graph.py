@@ -747,9 +747,13 @@ def host_components(edges_ds, num_partitions: int = 16):
         return pa.table({"doc_a": pa.array(ha, pa.int64()),
                          "doc_b": pa.array(hb, pa.int64())})
 
-    labels = dup_clusters(edges.map_batches(to_pairs,
-                                            batch_format="pyarrow"),
-                          num_partitions=num_partitions)
+    # repartition merges away any schemaless empty blocks a groupby-
+    # produced edge dataset carries — dup_clusters' first join cannot
+    # key them (the pagerank guard)
+    pairs = (edges.map_batches(to_pairs, batch_format="pyarrow")
+             .repartition(max(2, min(num_partitions,
+                                     edges.count() // 1000 + 2))))
+    labels = dup_clusters(pairs, num_partitions=num_partitions)
 
     def names(b: pa.Table) -> pa.Table:
         import numpy as np

@@ -321,3 +321,25 @@ def test_host_components_empty_graph():
         "dst_host": pa.array([], pa.string()),
         "weight": pa.array([], pa.int64())}))
     assert host_components(empty).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_extreme_int64_labels():
+    """Regression: the convergence witness must not SUM label values —
+    ids near ±2⁶² (e.g. host_components' FNV hashes) overflowed int64
+    and dropped Ray into a pickled-object fallback that crawled. The
+    witness is now a bounded changed-row count."""
+    import ray.data
+
+    from searchengine_ray.pipelines.clusters import dup_clusters
+
+    big = 1 << 62
+    pairs = pa.table({
+        "doc_a": pa.array([big, big + 1, -big], pa.int64()),
+        "doc_b": pa.array([big + 1, big + 2, -big + 5], pa.int64()),
+    })
+    got = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(
+               ray.data.from_arrow(pairs).repartition(2)).take_all()}
+    assert got == {big: big, big + 1: big, big + 2: big,
+                   -big: -big, -big + 5: -big}
