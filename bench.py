@@ -310,10 +310,18 @@ def run_scaling() -> None:
     # low level; best-of-2 still shields the ±10% box swing
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     lo, hi = (int(x) for x in levels.split(","))
-    # best-of-N per level: single runs swing ±10% on a shared box (page
-    # cache, background daemons); min build time is the stable estimator
-    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["build_sec"])
-    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["build_sec"])
+    # best-of-N per level, levels INTERLEAVED per rep (lo,hi,lo,hi…):
+    # a run takes ~15 min, long enough for shared-box conditions to
+    # drift mid-measurement — sequential levels let a bad window land
+    # entirely on one side and corrupt the ratio (observed: an 8-CPU-
+    # only slowdown reported eff 0.40 where adjacent windows gave
+    # 0.80-0.85). Min build time per level is the stable estimator.
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+    r_lo = min(lo_runs, key=lambda r: r["build_sec"])
+    r_hi = min(hi_runs, key=lambda r: r["build_sec"])
     # scaling on the distributed build phase (query latency is single-
     # stream serving and does not scale with cores)
     t_lo, t_hi = r_lo["build_sec"], r_hi["build_sec"]
